@@ -1,0 +1,47 @@
+"""deepgemm_tpu — a TPU-native block-scaled GEMM engine.
+
+Brand-new JAX/Pallas framework with the capabilities of DeepGEMM
+(reference at /root/reference): dense + grouped FP8/FP4/BF16 GEMMs with
+fine-grained blockwise scaling, MoE grouped kernels (contiguous / masked /
+k-grouped), MQA lightning-indexer scoring, einsum and HyperConnection-prenorm
+kernels — built on Pallas MXU kernels, a traced-kernel cache, and
+pjit/shard_map distribution instead of a CUDA JIT + NVLink symmetric memory.
+
+Public surface mirrors /root/reference/deep_gemm/__init__.py:16-95.
+"""
+
+# Runtime knobs (parity with csrc/apis/runtime.hpp)
+from .runtime.config import (
+    set_num_sms, get_num_sms,
+    set_tc_util, get_tc_util,
+    set_pdl, get_pdl,
+    set_ignore_compile_dims,
+    set_block_size_multiple_of,
+    set_mk_alignment_for_contiguous_layout,
+    get_mk_alignment_for_contiguous_layout,
+)
+from .runtime.cache import kernel_cache, init_persistent_cache
+
+# Dense GEMMs
+from .ops.gemm import (
+    fp8_fp4_gemm_nt, fp8_fp4_gemm_nn, fp8_fp4_gemm_tn, fp8_fp4_gemm_tt,
+    fp8_gemm_nt, fp8_gemm_nn, fp8_gemm_tn, fp8_gemm_tt,
+    bf16_gemm_nt, bf16_gemm_nn, bf16_gemm_tn, bf16_gemm_tt,
+)
+
+# Layout / SF transforms
+from .ops.sf_layout import transform_sf_into_required_layout
+
+# Utils (quantization contract)
+from .utils.math import (
+    align, ceil_div,
+    ceil_to_ue8m0, pack_ue8m0_to_int, unpack_ue8m0_from_int,
+    per_token_cast_to_fp8, per_channel_cast_to_fp8, per_block_cast_to_fp8,
+    per_custom_dims_cast_to_fp8,
+    per_token_cast_to_fp4, transpose_packed_fp4, cast_back_from_fp4,
+)
+
+from . import testing
+from . import utils
+
+__version__ = '0.1.0'

@@ -1,0 +1,137 @@
+"""Dense GEMM public APIs (BF16 + FP8/FP4 scaled), mirroring the reference
+API surface (/root/reference/csrc/apis/gemm.hpp:73-164):
+
+  * ``fp8_gemm_{nt,nn,tn,tt}`` / ``fp8_fp4_gemm_*`` aliases,
+  * ``bf16_gemm_{nt,nn,tn,tt}``,
+
+with the same "canonicalize everything to NT" trick — except on TPU no
+operand is ever materially transposed: the layout flags flow into BlockSpec
+index maps and dot_general dimension numbers.
+
+JAX is functional: instead of writing into a caller-provided ``d``, every
+function returns the result. ``d`` may still be passed (array or
+ShapeDtypeStruct) purely as a shape/dtype template, and ``c`` is the optional
+accumulator input (the reference's C-copy semantics,
+/root/reference/csrc/apis/gemm.hpp:19-46).
+"""
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from ..kernels.dense import dense_gemm
+from ..utils.math import ceil_div
+from .sf_layout import resolve_recipes, transform_sfa, transform_sfb
+
+
+def _out_dtype_of(d, default=jnp.bfloat16):
+    if d is None:
+        return jnp.dtype(default)
+    return jnp.dtype(getattr(d, 'dtype', d))
+
+
+def _split_pair(x) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Accept either a bare array (bf16) or an (array, sf) pair (fp8/fp4)."""
+    if isinstance(x, (tuple, list)):
+        return x[0], x[1]
+    return x, None
+
+
+def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
+               recipe=None, recipe_a=None, recipe_b=None,
+               compiled_dims: str = 'nk', disable_ue8m0_cast: bool = False):
+    del compiled_dims  # all dims are static under jit; kept for API parity
+    a_val, sfa = _split_pair(a)
+    b_val, sfb = _split_pair(b)
+
+    m = a_val.shape[0] if a_kmajor else a_val.shape[1]
+    k = a_val.shape[1] if a_kmajor else a_val.shape[0]
+    n = b_val.shape[0] if b_kmajor else b_val.shape[1]
+    out_dtype = _out_dtype_of(d)
+
+    if k == 0 or m == 0 or n == 0:
+        # Early-return semantics (/root/reference/csrc/apis/gemm.hpp:19-46)
+        base = jnp.zeros((m, n), dtype=out_dtype)
+        return base + c if c is not None else base
+
+    if sfa is None:   # BF16 path (NoSF kernel)
+        return dense_gemm(a_val, b_val, c=c, a_kmajor=a_kmajor, b_kmajor=b_kmajor,
+                          out_dtype=out_dtype)
+
+    recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
+    gran_k_a, gran_k_b = recipe_a[1], recipe_b[1]
+
+    sfa = transform_sfa(sfa, m, k, gran_k_a, a_kmajor)
+    sfb_t = transform_sfb(sfb, n, k, recipe_b, b_kmajor)
+
+    return dense_gemm(a_val, b_val, sfa=sfa, sfb_t=sfb_t, c=c,
+                      a_kmajor=a_kmajor, b_kmajor=b_kmajor,
+                      sf_kind_b='pertoken', gran_k_a=gran_k_a, gran_k_b=gran_k_b,
+                      out_dtype=out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# FP8 / FP4 GEMMs. Layout contract (matching the reference alias trick,
+# /root/reference/csrc/apis/gemm.hpp:126-164):
+#   nt: a[m, k], b[n, k];  nn: a[m, k], b[k, n]
+#   tn: a[k, m], b[k, n];  tt: a[k, m], b[n, k]
+# SF tensors follow their operand's orientation.
+# ---------------------------------------------------------------------------
+
+def fp8_fp4_gemm_nt(a, b, d=None, c=None, recipe=None, recipe_a=None, recipe_b=None,
+                    compiled_dims='nk', disable_ue8m0_cast=False):
+    return _gemm_impl(a, b, d, c, a_kmajor=True, b_kmajor=True,
+                      recipe=recipe, recipe_a=recipe_a, recipe_b=recipe_b,
+                      compiled_dims=compiled_dims, disable_ue8m0_cast=disable_ue8m0_cast)
+
+
+def fp8_fp4_gemm_nn(a, b, d=None, c=None, recipe=None, recipe_a=None, recipe_b=None,
+                    compiled_dims='nk', disable_ue8m0_cast=False):
+    return _gemm_impl(a, b, d, c, a_kmajor=True, b_kmajor=False,
+                      recipe=recipe, recipe_a=recipe_a, recipe_b=recipe_b,
+                      compiled_dims=compiled_dims, disable_ue8m0_cast=disable_ue8m0_cast)
+
+
+def fp8_fp4_gemm_tn(a, b, d=None, c=None, recipe=None, recipe_a=None, recipe_b=None,
+                    compiled_dims='nk', disable_ue8m0_cast=False):
+    return _gemm_impl(a, b, d, c, a_kmajor=False, b_kmajor=False,
+                      recipe=recipe, recipe_a=recipe_a, recipe_b=recipe_b,
+                      compiled_dims=compiled_dims, disable_ue8m0_cast=disable_ue8m0_cast)
+
+
+def fp8_fp4_gemm_tt(a, b, d=None, c=None, recipe=None, recipe_a=None, recipe_b=None,
+                    compiled_dims='nk', disable_ue8m0_cast=False):
+    return _gemm_impl(a, b, d, c, a_kmajor=False, b_kmajor=True,
+                      recipe=recipe, recipe_a=recipe_a, recipe_b=recipe_b,
+                      compiled_dims=compiled_dims, disable_ue8m0_cast=disable_ue8m0_cast)
+
+
+# FP8-only aliases (/root/reference/deep_gemm/__init__.py:44-45)
+fp8_gemm_nt = fp8_fp4_gemm_nt
+fp8_gemm_nn = fp8_fp4_gemm_nn
+fp8_gemm_tn = fp8_fp4_gemm_tn
+fp8_gemm_tt = fp8_fp4_gemm_tt
+
+
+# ---------------------------------------------------------------------------
+# BF16 GEMMs (/root/reference/csrc/apis/gemm.hpp + impls/sm90_bf16_gemm.cuh)
+# ---------------------------------------------------------------------------
+
+def bf16_gemm_nt(a, b, d=None, c=None, compiled_dims='nk'):
+    return _gemm_impl(a, b, d, c, a_kmajor=True, b_kmajor=True,
+                      compiled_dims=compiled_dims)
+
+
+def bf16_gemm_nn(a, b, d=None, c=None, compiled_dims='nk'):
+    return _gemm_impl(a, b, d, c, a_kmajor=True, b_kmajor=False,
+                      compiled_dims=compiled_dims)
+
+
+def bf16_gemm_tn(a, b, d=None, c=None, compiled_dims='nk'):
+    return _gemm_impl(a, b, d, c, a_kmajor=False, b_kmajor=False,
+                      compiled_dims=compiled_dims)
+
+
+def bf16_gemm_tt(a, b, d=None, c=None, compiled_dims='nk'):
+    return _gemm_impl(a, b, d, c, a_kmajor=False, b_kmajor=True,
+                      compiled_dims=compiled_dims)

@@ -1,0 +1,130 @@
+"""Runtime configuration: env-var layer + runtime knobs.
+
+TPU analog of the reference's three-tier config system
+(/root/reference/csrc/apis/runtime.hpp:11-49, csrc/utils/system.hpp:17-33,
+csrc/jit_kernels/heuristics/runtime.hpp:9-61):
+  1. ``DGT_*`` environment variables (reference: ``DG_*``);
+  2. runtime setters (``set_num_cores`` as the analog of ``set_num_sms``,
+     alignment knobs);
+  3. per-call kwargs handled in the API layer.
+"""
+
+import functools
+import os
+from typing import Optional
+
+import jax
+
+
+def get_env(name: str, default=None, cast=str):
+    value = os.environ.get(name)
+    if value is None:
+        return default
+    return cast(value)
+
+
+def get_bool_env(name: str, default: bool = False) -> bool:
+    return get_env(name, '1' if default else '0') not in ('0', 'false', 'False', '')
+
+
+class _Runtime:
+    """Process-wide knobs (analog of DeviceRuntime + HeuristicsRuntime,
+    /root/reference/csrc/jit/device_runtime.hpp:14-134)."""
+
+    def __init__(self):
+        self._num_cores: Optional[int] = get_env('DGT_NUM_CORES', None, int)
+        # Alignment of each group's start row in contiguous grouped layouts
+        # (reference default 128: csrc/jit_kernels/heuristics/runtime.hpp:47-57)
+        self.mk_alignment: int = get_env('DGT_MK_ALIGNMENT', 128, int)
+        self.block_m_multiple_of: int = 1
+        self.block_n_multiple_of: int = 1
+        self.ignore_compile_dims: bool = get_bool_env('DGT_IGNORE_COMPILE_DIMS')
+        # Debug printing of chosen kernel configs (analog of DG_PRINT_CONFIGS)
+        self.print_configs: bool = get_bool_env('DGT_PRINT_CONFIGS')
+        self._printed_specs = set()
+
+    @property
+    def num_cores(self) -> int:
+        if self._num_cores is None:
+            return jax.local_device_count()
+        return self._num_cores
+
+    @num_cores.setter
+    def num_cores(self, value: int):
+        self._num_cores = value
+
+    def maybe_print_config(self, spec, config):
+        if self.print_configs and spec not in self._printed_specs:
+            self._printed_specs.add(spec)
+            print(f'[deepgemm_tpu] spec={spec} -> config={config}')
+
+
+@functools.lru_cache(maxsize=None)
+def runtime() -> _Runtime:
+    return _Runtime()
+
+
+# ---------------------------------------------------------------------------
+# Public runtime API (parity with /root/reference/csrc/apis/runtime.hpp:11-49)
+# ---------------------------------------------------------------------------
+
+def set_num_sms(num: int):
+    """Analog of ``deep_gemm.set_num_sms`` — caps the core/device budget."""
+    runtime().num_cores = num
+
+
+def get_num_sms() -> int:
+    return runtime().num_cores
+
+
+def set_tc_util(percent: int):
+    """Accepted for API parity; XLA owns MXU scheduling on TPU (no-op)."""
+    runtime().tc_util = percent
+
+
+def get_tc_util() -> int:
+    return getattr(runtime(), 'tc_util', 100)
+
+
+def set_pdl(enable: bool):
+    """Programmatic dependent launch has no TPU analog (XLA fuses/pipes); no-op."""
+    runtime().pdl = enable
+
+
+def get_pdl() -> bool:
+    return getattr(runtime(), 'pdl', False)
+
+
+def set_ignore_compile_dims(value: bool):
+    runtime().ignore_compile_dims = value
+
+
+def set_block_size_multiple_of(block_m: int, block_n: int):
+    runtime().block_m_multiple_of = block_m
+    runtime().block_n_multiple_of = block_n
+
+
+def set_mk_alignment_for_contiguous_layout(alignment: int):
+    """Reference: csrc/apis/layout.hpp:142-150."""
+    runtime().mk_alignment = alignment
+
+
+def get_mk_alignment_for_contiguous_layout() -> int:
+    return runtime().mk_alignment
+
+
+def get_tma_aligned_size(x: int, element_size: int) -> int:
+    """Kept for layout-contract parity (16-byte alignment,
+    /root/reference/csrc/utils/math.hpp:23-27)."""
+    alignment = 16 // element_size
+    return align(x, alignment)
+
+
+def align(x: int, y: int) -> int:
+    return (x + y - 1) // y * y
+
+
+def is_cpu_backend() -> bool:
+    """True when running on the CPU backend (tests / virtual meshes): Pallas
+    kernels then run in interpret mode."""
+    return jax.default_backend() == 'cpu'

@@ -1,0 +1,116 @@
+"""Dense GEMM golden tests (TPU analog of /root/reference/tests/test_bf16.py
+and tests/test_fp8_fp4.py dense paths): FP32 reference matmul, quantized
+inputs through the library's cast utils, cosine-diff thresholds matching the
+reference (1e-3 FP8, tighter for BF16), and transpose-alias plumbing checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import deepgemm_tpu as dg
+from deepgemm_tpu.testing import calc_diff
+
+from generators import generate_normal, f32
+
+
+# Modest shapes (interpret mode on CPU); includes ragged n and odd k tails.
+DENSE_SHAPES = [
+    (128, 256, 384),
+    (33, 128, 256),
+    (256, 192, 320),     # n not a multiple of 128
+    (64, 384, 200),      # k tail (k % 128 != 0)
+]
+
+
+@pytest.mark.parametrize('m,n,k', DENSE_SHAPES)
+@pytest.mark.parametrize('accumulate', [False, True])
+@pytest.mark.parametrize('out_dtype', [jnp.bfloat16, jnp.float32])
+def test_bf16_gemm_nt(m, n, k, accumulate, out_dtype):
+    a, b, c, ref_d = generate_normal(m, n, k, accumulate, out_dtype, use_fp8=False)
+    d = dg.bf16_gemm_nt(a, b, d=jnp.zeros((), out_dtype), c=c)
+    assert d.dtype == jnp.dtype(out_dtype)
+    diff = calc_diff(d, ref_d)
+    assert diff < 1e-5, f'{m=}, {n=}, {k=}, {accumulate=}, {diff=}'
+
+
+def test_bf16_gemm_layout_aliases():
+    m, n, k = 128, 256, 384
+    a, b, _, ref_d = generate_normal(m, n, k, use_fp8=False)
+    for name, args in {
+        'nn': (a, b.T), 'tn': (a.T, b.T), 'tt': (a.T, b),
+    }.items():
+        d = getattr(dg, f'bf16_gemm_{name}')(*args)
+        diff = calc_diff(d, ref_d)
+        assert diff < 1e-5, f'{name}: {diff}'
+
+
+@pytest.mark.parametrize('m,n,k', DENSE_SHAPES)
+@pytest.mark.parametrize('use_ue8m0', [False, True])
+def test_fp8_gemm_nt(m, n, k, use_ue8m0):
+    a, b, c, ref_d = generate_normal(m, n, k, use_ue8m0=use_ue8m0)
+    d = dg.fp8_gemm_nt(a, b)
+    diff = calc_diff(d, ref_d)
+    assert diff < 1e-3, f'{m=}, {n=}, {k=}, {use_ue8m0=}, {diff=}'
+
+
+def test_fp8_gemm_layout_aliases():
+    """Transpose plumbing, mirroring /root/reference/tests/test_fp8_fp4.py:45-55."""
+    m, n, k = 128, 256, 384
+    a, b, _, ref_d = generate_normal(m, n, k)
+    cases = {
+        'nn': (a, (b[0].T, b[1].T)),
+        'tn': ((a[0].T, a[1].T), (b[0].T, b[1].T)),
+        'tt': ((a[0].T, a[1].T), b),
+    }
+    for name, args in cases.items():
+        d = getattr(dg, f'fp8_gemm_{name}')(*args)
+        diff = calc_diff(d, ref_d)
+        assert diff < 1e-3, f'{name}: {diff}'
+
+
+@pytest.mark.parametrize('out_dtype', [jnp.float32, jnp.bfloat16])
+def test_fp8_gemm_wgrad_recipe(out_dtype):
+    """1D1D (both per-token) recipe with FP32 accumulation — the wgrad path
+    (/root/reference/csrc/apis/gemm.hpp:328)."""
+    m, n, k = 128, 256, 384
+    a, b, c, ref_d = generate_normal(m, n, k, accumulate=True, out_dtype=out_dtype,
+                                     b_pertoken=True)
+    d = dg.fp8_gemm_nt(a, b, d=c, c=c, recipe=(1, 1, 128))
+    diff = calc_diff(d, ref_d)
+    assert diff < 1e-3, f'{diff=}'
+
+
+def test_fp8_gemm_packed_ue8m0_sf():
+    """Packed int32 UE8M0 scales are unpacked by the layout transform
+    (analog of SM100 packed-SF handling, /root/reference/csrc/apis/layout.hpp:27-43)."""
+    m, n, k = 128, 256, 512
+    a = jnp.asarray(np.random.randn(m, k).astype(np.float32), dtype=jnp.bfloat16)
+    b = jnp.asarray(np.random.randn(n, k).astype(np.float32), dtype=jnp.bfloat16)
+    ref_d = np.asarray(jnp.asarray(f32(a) @ f32(b).T).astype(jnp.bfloat16))
+    a_q = dg.per_token_cast_to_fp8(a, use_ue8m0=True, use_packed_ue8m0=True)
+    b_q = dg.per_token_cast_to_fp8(b, use_ue8m0=True, use_packed_ue8m0=True)
+    assert a_q[1].dtype == jnp.int32
+    d = dg.fp8_gemm_nt(a_q, b_q, recipe=(1, 1, 128))
+    assert calc_diff(d, ref_d) < 1e-3
+
+
+def test_gemm_early_return():
+    """k == 0 early-return semantics (/root/reference/csrc/apis/gemm.hpp:19-46)."""
+    a = jnp.zeros((16, 0), jnp.bfloat16)
+    b = jnp.zeros((32, 0), jnp.bfloat16)
+    c = jnp.asarray(np.random.randn(16, 32).astype(np.float32)).astype(jnp.bfloat16)
+    d = dg.bf16_gemm_nt(a, b, d=c, c=c)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(c))
+    d0 = dg.bf16_gemm_nt(a, b)
+    assert not np.asarray(d0).any()
+
+
+def test_kernel_cache_reuse():
+    """Same spec -> same compiled kernel object (traced-kernel cache, the
+    analog of /root/reference/csrc/jit/cache.hpp:11-29)."""
+    before = len(dg.kernel_cache())
+    a, b, _, _ = generate_normal(128, 256, 384, use_fp8=False)
+    dg.bf16_gemm_nt(a, b)
+    mid = len(dg.kernel_cache())
+    dg.bf16_gemm_nt(a, b)
+    assert len(dg.kernel_cache()) == mid >= before
