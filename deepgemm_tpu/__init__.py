@@ -29,6 +29,26 @@ from .ops.gemm import (
     bf16_gemm_nt, bf16_gemm_nn, bf16_gemm_tn, bf16_gemm_tt,
 )
 
+# M-grouped GEMMs (MoE prefill / decode)
+from .ops.m_grouped import (
+    m_grouped_fp8_fp4_gemm_nt_contiguous, m_grouped_fp8_fp4_gemm_nn_contiguous,
+    m_grouped_fp8_fp4_gemm_nt_masked,
+    m_grouped_fp8_gemm_nt_contiguous, m_grouped_fp8_gemm_nn_contiguous,
+    m_grouped_fp8_gemm_nt_masked,
+    m_grouped_bf16_gemm_nt_contiguous, m_grouped_bf16_gemm_nn_contiguous,
+    m_grouped_bf16_gemm_nt_masked,
+)
+
+# K-grouped GEMMs (MoE weight gradients)
+from .ops.k_grouped import (
+    k_grouped_fp8_gemm_tn_contiguous, k_grouped_fp8_gemm_nt_contiguous,
+    k_grouped_bf16_gemm_tn_contiguous,
+)
+
+# Legacy aliases (/root/reference/deep_gemm/__init__.py:77-78)
+fp8_m_grouped_gemm_nt_masked = m_grouped_fp8_gemm_nt_masked
+bf16_m_grouped_gemm_nt_masked = m_grouped_bf16_gemm_nt_masked
+
 # Layout / SF transforms
 from .ops.sf_layout import transform_sf_into_required_layout
 

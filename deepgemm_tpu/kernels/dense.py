@@ -33,6 +33,7 @@ from ..heuristics.configs import GemmConfig, get_gemm_config
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend
 from ..utils.math import align, ceil_div
+from .common import dot_mn, k_slice, onehot_cols, onehot_rows, mask_k_tail
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,19 +56,6 @@ class DenseGemmSpec:
     gran_k_b: int
     cfg: GemmConfig
 
-
-def _dot_mn(a_blk, b_blk, a_kmajor: bool, b_kmajor: bool):
-    """(bm, bn) f32 = contract over k, whatever the block orientations."""
-    ca = 1 if a_kmajor else 0
-    cb = 1 if b_kmajor else 0
-    return jax.lax.dot_general(
-        a_blk, b_blk,
-        dimension_numbers=(((ca,), (cb,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-def _k_slice(blk, a_kmajor: bool, start: int, size: int):
-    return blk[:, start:start + size] if a_kmajor else blk[start:start + size, :]
 
 
 def _build_dense_gemm(spec: DenseGemmSpec):
@@ -135,16 +123,11 @@ def _build_dense_gemm(spec: DenseGemmSpec):
         if has_k_tail:
             # Zero out-of-range k columns in the (padded) final block so they
             # contribute nothing to the accumulation.
-            k_base = ki * bk
-            ids = jax.lax.broadcasted_iota(jnp.int32, a_blk.shape,
-                                           1 if spec.a_kmajor else 0)
-            a_blk = jnp.where(k_base + ids < k, a_blk, jnp.zeros_like(a_blk))
-            ids_b = jax.lax.broadcasted_iota(jnp.int32, b_blk.shape,
-                                             1 if spec.b_kmajor else 0)
-            b_blk = jnp.where(k_base + ids_b < k, b_blk, jnp.zeros_like(b_blk))
+            a_blk = mask_k_tail(a_blk, spec.a_kmajor, ki * bk, k)
+            b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
 
         if not is_scaled:
-            acc_ref[:] += _dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor)
+            acc_ref[:] += dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor)
         else:
             a_blk = a_blk.astype(jnp.bfloat16)   # e4m3 -> bf16 is exact
             b_blk = b_blk.astype(jnp.bfloat16)
@@ -154,21 +137,12 @@ def _build_dense_gemm(spec: DenseGemmSpec):
             nsub_a, nsub_b = bk // gka, bk // gkb
             # Gather this k-block's scale columns/rows with one-hot matmuls:
             # out-of-range sub-blocks (k tail) select nothing -> scale 0.
-            sel_a = (jax.lax.broadcasted_iota(jnp.int32, (n_sf_a, nsub_a), 0) ==
-                     ki * nsub_a + jax.lax.broadcasted_iota(
-                         jnp.int32, (n_sf_a, nsub_a), 1)).astype(jnp.float32)
-            sfa_sel = jnp.dot(sfa_ref[:], sel_a,
-                              preferred_element_type=jnp.float32)    # (bm, nsub_a)
-            sel_b = (jax.lax.broadcasted_iota(jnp.int32, (n_sf_b, nsub_b), 0) ==
-                     ki * nsub_b + jax.lax.broadcasted_iota(
-                         jnp.int32, (n_sf_b, nsub_b), 1)).astype(jnp.float32)
-            sfb_sel = jax.lax.dot_general(
-                sel_b, sfb_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)                  # (nsub_b, bn)
+            sfa_sel = onehot_cols(sfa_ref[:], n_sf_a, nsub_a, ki * nsub_a)  # (bm, nsub_a)
+            sfb_sel = onehot_rows(sfb_ref[:], n_sf_b, nsub_b, ki * nsub_b)  # (nsub_b, bn)
             for s in range(bk // gsub):
-                a_s = _k_slice(a_blk, spec.a_kmajor, s * gsub, gsub)
-                b_s = _k_slice(b_blk, spec.b_kmajor, s * gsub, gsub)
-                p = _dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
+                a_s = k_slice(a_blk, spec.a_kmajor, s * gsub, gsub)
+                b_s = k_slice(b_blk, spec.b_kmajor, s * gsub, gsub)
+                p = dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
                 sa = s * gsub // gka
                 sb = s * gsub // gkb
                 scale = sfa_sel[:, sa:sa + 1] * sfb_sel[sb:sb + 1, :]  # (bm, bn)

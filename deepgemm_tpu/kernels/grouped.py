@@ -1,0 +1,312 @@
+"""Grouped GEMM Pallas kernels for MoE:
+
+  * m-grouped contiguous (prefill): rows of ``a`` are the concatenation of
+    per-expert token blocks, each padded to the mk alignment; ``b`` holds one
+    weight matrix per expert. TPU re-design of the reference contiguous
+    scheduler (/root/reference/deep_gemm/include/deep_gemm/scheduler/gemm.cuh:160-162),
+    where the device reads ``grouped_layout[m_block * BLOCK_M]`` to pick the B
+    group. Here the per-m-tile group ids are computed on device by the API
+    layer (a few jnp ops) and fed as a scalar-prefetch array that BlockSpec
+    index maps consume — the Pallas analog of the persistent scheduler.
+
+  * m-grouped masked (decode): A/B/D are ``[G, max_m, .]``; ``masked_m[g]`` is
+    read on-core only, so the host never syncs on it — the TPU analog of the
+    reference's CUDA-graph-safe masked kernel
+    (/root/reference/deep_gemm/include/deep_gemm/scheduler/gemm.cuh:200-216).
+
+Scale handling matches kernels/dense.py (f32 promotion per scale block).
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..heuristics.configs import GemmConfig, get_gemm_config
+from ..runtime.cache import kernel_cache
+from ..runtime.config import is_cpu_backend, runtime
+from ..utils.math import align, ceil_div
+from .common import dot_mn, k_slice, onehot_cols, onehot_rows, mask_k_tail
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupedGemmSpec:
+    kind: str            # 'contiguous' | 'masked'
+    num_groups: int
+    m: int               # total m (contiguous) or max_m (masked)
+    n: int
+    k: int
+    b_kmajor: bool
+    a_dtype: str
+    b_dtype: str
+    out_dtype: str
+    is_scaled: bool
+    gran_k_a: int
+    gran_k_b: int
+    zero_padded_rows: bool   # epilogue zeroing of group-padding rows
+    cfg: GemmConfig
+
+
+def _scaled_promotion(spec, ki, bk, k, a_blk, b_blk, sfa_blk, sfb_blk, acc_ref):
+    gka, gkb = spec.gran_k_a, spec.gran_k_b
+    n_sf_a, n_sf_b = ceil_div(k, gka), ceil_div(k, gkb)
+    a_blk = a_blk.astype(jnp.bfloat16)
+    b_blk = b_blk.astype(jnp.bfloat16)
+    gsub = min(gka, gkb)
+    nsub_a, nsub_b = bk // gka, bk // gkb
+    sfa_sel = onehot_cols(sfa_blk, n_sf_a, nsub_a, ki * nsub_a)
+    sfb_sel = onehot_rows(sfb_blk, n_sf_b, nsub_b, ki * nsub_b)
+    for s in range(bk // gsub):
+        a_s = k_slice(a_blk, True, s * gsub, gsub)
+        b_s = k_slice(b_blk, spec.b_kmajor, s * gsub, gsub)
+        p = dot_mn(a_s, b_s, True, spec.b_kmajor)
+        sa, sb = s * gsub // gka, s * gsub // gkb
+        acc_ref[:] += p * (sfa_sel[:, sa:sa + 1] * sfb_sel[sb:sb + 1, :])
+
+
+def _build_contiguous(spec: GroupedGemmSpec):
+    cfg = spec.cfg
+    bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
+    m, n, k = spec.m, spec.n, spec.k
+    gm, gn, gk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
+    out_dtype = jnp.dtype(spec.out_dtype)
+    has_k_tail = (k % bk) != 0
+    n_sf_a, n_sf_b = ceil_div(k, spec.gran_k_a), ceil_div(k, spec.gran_k_b)
+
+    # Scalar-prefetch operands: gids[gm] (group per m-tile, clamped >= 0) and
+    # row_ends[gm] (first invalid row for the tile's group; m if none).
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, s, gids, ends: (i, s),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, bn, bk), lambda i, j, s, gids, ends: (gids[i], j, s),
+                      memory_space=pltpu.VMEM)
+         if spec.b_kmajor else
+         pl.BlockSpec((1, bk, bn), lambda i, j, s, gids, ends: (gids[i], s, j),
+                      memory_space=pltpu.VMEM)),
+    ]
+    if spec.is_scaled:
+        in_specs.append(pl.BlockSpec((bm, n_sf_a), lambda i, j, s, gids, ends: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, n_sf_b, bn),
+                                     lambda i, j, s, gids, ends: (gids[i], 0, j),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, s, gids, ends: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(gids_ref, ends_ref, *refs):
+        a_ref, b_ref = refs[0], refs[1]
+        d_ref = refs[-2]
+        acc_ref = refs[-1]
+        i = pl.program_id(0)
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a_blk = a_ref[:]
+        b_blk = b_ref[0]
+        if has_k_tail:
+            a_blk = mask_k_tail(a_blk, True, ki * bk, k)
+            b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
+
+        if spec.is_scaled:
+            _scaled_promotion(spec, ki, bk, k, a_blk, b_blk,
+                              refs[2][:], refs[3][0], acc_ref)
+        else:
+            acc_ref[:] += dot_mn(a_blk, b_blk, True, spec.b_kmajor)
+
+        @pl.when(ki == gk - 1)
+        def _():
+            res = acc_ref[:]
+            if spec.zero_padded_rows:
+                # psum-layout `ensure_zero_padding`: zero d rows past the
+                # group's end (/root/reference/tests/test_fp8_fp4.py:22-30)
+                row = i * bm + jax.lax.broadcasted_iota(jnp.int32, res.shape, 0)
+                res = jnp.where(row < ends_ref[i], res, jnp.zeros_like(res))
+            d_ref[:] = res.astype(out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gm, gn, gk),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(flops=2 * m * n * k, bytes_accessed=0,
+                                      transcendentals=0),
+        interpret=is_cpu_backend(),
+    )
+    return jax.jit(call)
+
+
+def _build_masked(spec: GroupedGemmSpec):
+    cfg = spec.cfg
+    bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
+    g, mm, n, k = spec.num_groups, spec.m, spec.n, spec.k
+    gm, gn, gk = ceil_div(mm, bm), ceil_div(n, bn), ceil_div(k, bk)
+    out_dtype = jnp.dtype(spec.out_dtype)
+    has_k_tail = (k % bk) != 0
+    n_sf_a, n_sf_b = ceil_div(k, spec.gran_k_a), ceil_div(k, spec.gran_k_b)
+
+    in_specs = [
+        pl.BlockSpec((1, bm, bk), lambda e, i, j, s, mref: (e, i, s),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn, bk), lambda e, i, j, s, mref: (e, j, s),
+                     memory_space=pltpu.VMEM),
+    ]
+    if spec.is_scaled:
+        in_specs.append(pl.BlockSpec((1, bm, n_sf_a),
+                                     lambda e, i, j, s, mref: (e, i, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, n_sf_b, bn),
+                                     lambda e, i, j, s, mref: (e, 0, j),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, bm, bn), lambda e, i, j, s, mref: (e, i, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(mref, *refs):
+        a_ref, b_ref = refs[0], refs[1]
+        d_ref = refs[-2]
+        acc_ref = refs[-1]
+        e = pl.program_id(0)
+        i = pl.program_id(1)
+        ki = pl.program_id(3)
+
+        # Early-exit for m-tiles entirely beyond this group's masked_m — the
+        # CUDA-graph-safe contract: masked_m is only ever read on device
+        # (/root/reference/csrc/apis/gemm.hpp "masked" + scheduler/gemm.cuh:200-216).
+        active = i * bm < mref[e]
+
+        @pl.when(active)
+        def _():
+            @pl.when(ki == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            a_blk = a_ref[0]
+            b_blk = b_ref[0]
+            if has_k_tail:
+                a_blk = mask_k_tail(a_blk, True, ki * bk, k)
+                b_blk = mask_k_tail(b_blk, True, ki * bk, k)
+
+            if spec.is_scaled:
+                _scaled_promotion(spec, ki, bk, k, a_blk, b_blk,
+                                  refs[2][0], refs[3][0], acc_ref)
+            else:
+                acc_ref[:] += dot_mn(a_blk, b_blk, True, True)
+
+            @pl.when(ki == gk - 1)
+            def _():
+                d_ref[0] = acc_ref[:].astype(out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g, gm, gn, gk),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, mm, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(flops=2 * g * mm * n * k, bytes_accessed=0,
+                                      transcendentals=0),
+        interpret=is_cpu_backend(),
+    )
+    return jax.jit(call)
+
+
+def compute_tile_gids(grouped_layout: jnp.ndarray, num_groups: int, m: int,
+                      block_m: int, use_psum_layout: bool):
+    """Device-side per-m-tile (group id, group end row) — the Pallas analog of
+    the reference scheduler's grouped_layout reads
+    (/root/reference/deep_gemm/include/deep_gemm/scheduler/gemm.cuh:160-162,253-262)."""
+    num_tiles = ceil_div(m, block_m)
+    starts = jnp.arange(num_tiles, dtype=jnp.int32) * block_m
+    if use_psum_layout:
+        ends = grouped_layout.astype(jnp.int32)           # [G] psum end offsets
+        gids = jnp.searchsorted(ends, starts, side='right').astype(jnp.int32)
+        gids = jnp.minimum(gids, num_groups - 1)
+        row_ends = ends[gids]
+    else:
+        ids = grouped_layout.astype(jnp.int32)            # [m] per-row group ids
+        tile_ids = ids[starts]
+        gids = jnp.maximum(tile_ids, 0)                   # -1 padding -> any valid B
+        row_ends = jnp.full((num_tiles,), m, dtype=jnp.int32)
+    return gids, row_ends
+
+
+def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
+                              sfa=None, sfb_t=None, b_kmajor: bool = True,
+                              gran_k_a: int = 128, gran_k_b: int = 128,
+                              out_dtype=jnp.bfloat16,
+                              ensure_zero_padding: bool = False,
+                              cfg: Optional[GemmConfig] = None) -> jnp.ndarray:
+    m, k = a.shape
+    num_groups = b.shape[0]
+    n = b.shape[1] if b_kmajor else b.shape[2]
+    is_scaled = sfa is not None
+
+    mk_alignment = runtime().mk_alignment
+    if cfg is None:
+        cfg = get_gemm_config(m, n, k, a.dtype, b.dtype, out_dtype,
+                              gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
+                              num_groups=num_groups, is_grouped_m=True,
+                              mk_alignment=mk_alignment)
+    spec = GroupedGemmSpec(
+        kind='contiguous', num_groups=num_groups, m=m, n=n, k=k,
+        b_kmajor=b_kmajor, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
+        out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
+        gran_k_a=gran_k_a, gran_k_b=gran_k_b,
+        zero_padded_rows=ensure_zero_padding and use_psum_layout, cfg=cfg)
+    fn = kernel_cache().get_or_build(spec, lambda: _build_contiguous(spec))
+
+    gids, row_ends = compute_tile_gids(grouped_layout, num_groups, m,
+                                       cfg.block_m, use_psum_layout)
+    args = [gids, row_ends, a, b]
+    if is_scaled:
+        args += [sfa, sfb_t]
+    return fn(*args)
+
+
+def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
+                          gran_k_a: int = 128, gran_k_b: int = 128,
+                          out_dtype=jnp.bfloat16, expected_m: Optional[int] = None,
+                          cfg: Optional[GemmConfig] = None) -> jnp.ndarray:
+    num_groups, max_m, k = a.shape
+    n = b.shape[1]
+    is_scaled = sfa is not None
+
+    if cfg is None:
+        # expected_m only shapes the heuristic, never the semantics
+        # (CUDA-graph-safety analog: /root/reference/csrc/apis/gemm.hpp masked)
+        cfg = get_gemm_config(expected_m or max_m, n, k, a.dtype, b.dtype, out_dtype,
+                              gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
+                              num_groups=num_groups, is_grouped_m=True,
+                              mk_alignment=min(128, max(32, align(expected_m or max_m, 32))))
+    spec = GroupedGemmSpec(
+        kind='masked', num_groups=num_groups, m=max_m, n=n, k=k,
+        b_kmajor=True, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
+        out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
+        gran_k_a=gran_k_a, gran_k_b=gran_k_b, zero_padded_rows=False, cfg=cfg)
+    fn = kernel_cache().get_or_build(spec, lambda: _build_masked(spec))
+
+    args = [masked_m.astype(jnp.int32), a, b]
+    if is_scaled:
+        args += [sfa, sfb_t]
+    return fn(*args)

@@ -1,0 +1,203 @@
+"""K-grouped GEMM Pallas kernel (the MoE weight-gradient path).
+
+Computes ``d[g] = c[g] + a[ks_g]^T @ b[ks_g]`` over per-group k-ranges with
+mandatory FP32 accumulation — the TPU re-design of the reference k-grouped
+1D1D kernels (/root/reference/csrc/jit_kernels/impls/sm90_fp8_gemm_1d1d.hpp:15-229,
+device walk: deep_gemm/include/deep_gemm/scheduler/gemm.cuh:197-287).
+
+Where the reference rewrites TMA descriptors on device per group
+(impls/sm90_fp8_gemm_1d1d.cuh:196-199), the TPU version uses a flat k-tile
+grid with per-tile scalar-prefetch metadata (group id, first/last flags, SF
+row bases) computed on device in a few jnp ops — group boundaries never touch
+the host, so the kernel stays graph-safe for dynamic ``ks`` tensors.
+
+Layout contract (TN): ``a`` is [total_k, m], ``b`` is [total_k, n] (both
+MN-major); per-channel SFs are compacted per group
+(/root/reference/tests/generators.py:411-433): ``sfa_t`` [m, nsf_total]
+(m-major, transposed by the API layer), ``sfb_t`` [nsf_total, n].
+"""
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..runtime.cache import kernel_cache
+from ..runtime.config import is_cpu_backend, runtime
+from ..utils.math import align, ceil_div
+from .common import dot_mn, onehot_cols, onehot_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class KGroupedGemmSpec:
+    num_groups: int
+    m: int
+    n: int
+    total_k: int
+    a_dtype: str
+    b_dtype: str
+    is_scaled: bool
+    gran_k: int
+    nsf_total: int
+    block_m: int
+    block_n: int
+    block_k: int
+
+
+def _build_k_grouped(spec: KGroupedGemmSpec):
+    bm, bn, bk = spec.block_m, spec.block_n, spec.block_k
+    m, n, tk = spec.m, spec.n, spec.total_k
+    gm, gn = ceil_div(m, bm), ceil_div(n, bn)
+    nt = tk // bk
+    gran = spec.gran_k
+    nsf = spec.nsf_total
+    gsub = math.gcd(gran, bk)
+
+    # Prefetch operands: gid[nt], first[nt], last[nt], sf_start[nt], local_base[nt]
+    in_specs = [
+        pl.BlockSpec((bk, bm), lambda i, j, s, *pf: (s, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, s, *pf: (s, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bm, bn), lambda i, j, s, gid, *pf: (gid[s], i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if spec.is_scaled:
+        in_specs.append(pl.BlockSpec((bm, nsf), lambda i, j, s, *pf: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((nsf, bn), lambda i, j, s, *pf: (0, j),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, bm, bn), lambda i, j, s, gid, *pf: (gid[s], i, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(gid_ref, first_ref, last_ref, sfstart_ref, localbase_ref,
+               *refs):
+        a_ref, b_ref, c_ref = refs[0], refs[1], refs[2]
+        d_ref = refs[-2]
+        acc_ref = refs[-1]
+        s = pl.program_id(2)
+
+        @pl.when(first_ref[s] == 1)
+        def _():
+            acc_ref[:] = c_ref[0].astype(jnp.float32)
+
+        a_blk = a_ref[:]
+        b_blk = b_ref[:]
+        if not spec.is_scaled:
+            acc_ref[:] += dot_mn(a_blk, b_blk, False, False)
+        else:
+            a_blk = a_blk.astype(jnp.bfloat16)
+            b_blk = b_blk.astype(jnp.bfloat16)
+            sfa_blk = refs[3][:]      # (bm, nsf)
+            sfb_blk = refs[4][:]      # (nsf, bn)
+            for t in range(bk // gsub):
+                # SF row for this sub-slice: group-compact rows
+                # (generators.py:411-433 contract)
+                row = sfstart_ref[s] + (localbase_ref[s] + t * gsub) // gran
+                p = dot_mn(a_blk[t * gsub:(t + 1) * gsub, :],
+                           b_blk[t * gsub:(t + 1) * gsub, :], False, False)
+                sfa_col = onehot_cols(sfa_blk, nsf, 1, row)   # (bm, 1)
+                sfb_row = onehot_rows(sfb_blk, nsf, 1, row)   # (1, bn)
+                acc_ref[:] += p * (sfa_col * sfb_row)
+
+        @pl.when(last_ref[s] == 1)
+        def _():
+            d_ref[0] = acc_ref[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(gm, gn, nt),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((spec.num_groups, m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(flops=2 * m * n * tk, bytes_accessed=0,
+                                      transcendentals=0),
+        interpret=is_cpu_backend(),
+    )
+    return jax.jit(call)
+
+
+def compute_k_tile_metadata(grouped_layout: jnp.ndarray, num_groups: int,
+                            total_k: int, block_k: int, gran_k: int,
+                            k_alignment: int, use_psum_layout: bool):
+    """Per-k-tile (gid, first, last, sf_start, local_base) from the dynamic
+    group layout — all on device (the analog of the reference's in-kernel
+    k-group walking, scheduler/gemm.cuh:253-287)."""
+    nt = total_k // block_k
+    tile_start = jnp.arange(nt, dtype=jnp.int32) * block_k
+    layout = grouped_layout.astype(jnp.int32)
+    if use_psum_layout:
+        ends = layout
+        prev_ends = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+        starts = (prev_ends + k_alignment - 1) // k_alignment * k_alignment
+        starts = jnp.where(jnp.arange(num_groups) == 0, 0, starts)
+    else:
+        ks = layout
+        ends = jnp.cumsum(ks).astype(jnp.int32)
+        starts = ends - ks
+    real_ks = ends - starts
+
+    # Group of each tile: last group with start <= tile_start AND nonempty
+    # coverage. Empty groups produce start == next start; taking the last
+    # match skips them.
+    gid = jnp.searchsorted(starts, tile_start, side='right').astype(jnp.int32) - 1
+    gid = jnp.clip(gid, 0, num_groups - 1)
+    first = (tile_start == starts[gid]).astype(jnp.int32)
+    next_gid = jnp.concatenate([gid[1:], jnp.full((1,), -1, jnp.int32)])
+    last = (gid != next_gid).astype(jnp.int32)
+
+    sf_rows = (real_ks + gran_k - 1) // gran_k
+    sf_start_per_group = jnp.cumsum(sf_rows) - sf_rows
+    sf_start = sf_start_per_group[gid].astype(jnp.int32)
+    local_base = tile_start - starts[gid]
+    return gid, first, last, sf_start, local_base, real_ks
+
+
+def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
+                   sfa_t=None, sfb_t=None, gran_k: int = 128,
+                   num_groups: Optional[int] = None,
+                   ks_cpu=None) -> jnp.ndarray:
+    """d[g] = c[g] + a_g^T @ b_g (FP32 out). ``grouped_layout`` is per-group
+    k sizes or psum end offsets (/root/reference/csrc/apis/gemm.hpp:48-69)."""
+    total_k, m = a.shape
+    n = b.shape[1]
+    num_groups = num_groups or grouped_layout.shape[0]
+    is_scaled = sfa_t is not None
+    k_alignment = runtime().mk_alignment
+
+    # block_k must divide every group start: group starts are multiples of
+    # the k alignment, so use the largest 32-multiple divisor of it.
+    bk = k_alignment
+    assert total_k % bk == 0, (total_k, bk)
+    bm = min(256, align(m, 8))
+    bn = min(256, align(n, 128 if n % 128 == 0 else n))
+    nsf_total = sfa_t.shape[1] if is_scaled else 0
+
+    spec = KGroupedGemmSpec(
+        num_groups=num_groups, m=m, n=n, total_k=total_k,
+        a_dtype=str(a.dtype), b_dtype=str(b.dtype), is_scaled=is_scaled,
+        gran_k=gran_k, nsf_total=nsf_total,
+        block_m=bm, block_n=bn, block_k=bk)
+    fn = kernel_cache().get_or_build(spec, lambda: _build_k_grouped(spec))
+
+    gid, first, last, sf_start, local_base, real_ks = compute_k_tile_metadata(
+        grouped_layout, num_groups, total_k, bk, gran_k, k_alignment,
+        use_psum_layout)
+
+    args = [gid, first, last, sf_start, local_base, a, b, c]
+    if is_scaled:
+        args += [sfa_t, sfb_t]
+    d = fn(*args)
+    # Empty groups own no k-tiles, so their d block is never written: splice
+    # c back in (matches ref_d[i] = c[i], tests/generators.py:513-516).
+    return jnp.where((real_ks == 0)[:, None, None], c, d)

@@ -1,0 +1,156 @@
+"""M-grouped GEMM public APIs (MoE prefill / decode), mirroring
+/root/reference/csrc/apis/gemm.hpp:166-320:
+
+  * ``m_grouped_fp8_gemm_{nt,nn}_contiguous`` (+ ``fp8_fp4`` aliases)
+  * ``m_grouped_fp8_gemm_nt_masked``
+  * ``m_grouped_bf16_gemm_{nt,nn}_contiguous``, ``m_grouped_bf16_gemm_nt_masked``
+
+Contiguous contract: ``a`` is [m, k] k-major with m the concatenation of
+per-group row blocks aligned to ``get_mk_alignment_for_contiguous_layout()``;
+``grouped_layout`` is per-row group ids with -1 padding, or per-group psum end
+offsets when ``use_psum_layout`` (/root/reference/csrc/apis/gemm.hpp:196-205).
+
+Masked contract: ``a``/``d`` are [G, max_m, .]; only rows < masked_m[g] are
+meaningful; ``masked_m`` is never read on host (graph-safe decode).
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..kernels.grouped import m_grouped_gemm_contiguous, m_grouped_gemm_masked
+from ..utils.math import ceil_div
+from .gemm import _split_pair, _out_dtype_of
+from .sf_layout import resolve_recipes, unpack_ue8m0_from_int
+
+
+def _grouped_sfb_t(sfb, num_groups: int, n: int, k: int,
+                   recipe_b: Tuple[int, int], b_kmajor: bool) -> jnp.ndarray:
+    """[G, nsf, ksf] (k-major b) or [G, ksf, nsf] -> expanded [G, ksf, n]."""
+    gran_mn, gran_k = recipe_b
+    ksf = ceil_div(k, gran_k)
+    nsf = n if gran_mn == 1 else ceil_div(n, gran_mn)
+    if sfb.dtype == jnp.int32:
+        sfb = unpack_ue8m0_from_int(sfb)[..., :ksf] if b_kmajor else sfb
+        if not b_kmajor:
+            raise NotImplementedError('packed SF with MN-major B')
+    sfb = sfb.astype(jnp.float32)
+    if b_kmajor:
+        assert sfb.shape == (num_groups, nsf, ksf), sfb.shape
+        sfb = sfb.transpose(0, 2, 1)
+    else:
+        assert sfb.shape == (num_groups, ksf, nsf), sfb.shape
+    if gran_mn > 1:
+        sfb = jnp.repeat(sfb, gran_mn, axis=2)[:, :, :n]
+    return sfb
+
+
+def _m_grouped_contiguous_impl(a, b, d, grouped_layout, *, b_kmajor: bool,
+                               recipe=None, recipe_a=None, recipe_b=None,
+                               disable_ue8m0_cast: bool = False,
+                               use_psum_layout: bool = False,
+                               ensure_zero_padding: bool = False,
+                               compiled_dims: str = 'nk'):
+    del compiled_dims
+    a_val, sfa = _split_pair(a)
+    b_val, sfb = _split_pair(b)
+    m, k = a_val.shape
+    num_groups = b_val.shape[0]
+    n = b_val.shape[1] if b_kmajor else b_val.shape[2]
+    out_dtype = _out_dtype_of(d)
+
+    if sfa is None:
+        return m_grouped_gemm_contiguous(
+            a_val, b_val, grouped_layout, use_psum_layout=use_psum_layout,
+            b_kmajor=b_kmajor, out_dtype=out_dtype,
+            ensure_zero_padding=ensure_zero_padding)
+
+    recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
+    if sfa.dtype == jnp.int32:
+        sfa = unpack_ue8m0_from_int(sfa)[:, :ceil_div(k, recipe_a[1])]
+    sfa = sfa.astype(jnp.float32)
+    assert sfa.shape == (m, ceil_div(k, recipe_a[1])), sfa.shape
+    sfb_t = _grouped_sfb_t(sfb, num_groups, n, k, recipe_b, b_kmajor)
+
+    return m_grouped_gemm_contiguous(
+        a_val, b_val, grouped_layout, use_psum_layout=use_psum_layout,
+        sfa=sfa, sfb_t=sfb_t, b_kmajor=b_kmajor,
+        gran_k_a=recipe_a[1], gran_k_b=recipe_b[1], out_dtype=out_dtype,
+        ensure_zero_padding=ensure_zero_padding)
+
+
+def m_grouped_fp8_fp4_gemm_nt_contiguous(a, b, d=None, grouped_layout=None,
+                                         recipe=None, recipe_a=None, recipe_b=None,
+                                         compiled_dims='nk', disable_ue8m0_cast=False,
+                                         use_psum_layout=False,
+                                         ensure_zero_padding=False):
+    return _m_grouped_contiguous_impl(
+        a, b, d, grouped_layout, b_kmajor=True, recipe=recipe,
+        recipe_a=recipe_a, recipe_b=recipe_b,
+        disable_ue8m0_cast=disable_ue8m0_cast, use_psum_layout=use_psum_layout,
+        ensure_zero_padding=ensure_zero_padding, compiled_dims=compiled_dims)
+
+
+def m_grouped_fp8_fp4_gemm_nn_contiguous(a, b, d=None, grouped_layout=None,
+                                         recipe=None, recipe_a=None, recipe_b=None,
+                                         compiled_dims='nk', disable_ue8m0_cast=False,
+                                         use_psum_layout=False,
+                                         ensure_zero_padding=False):
+    return _m_grouped_contiguous_impl(
+        a, b, d, grouped_layout, b_kmajor=False, recipe=recipe,
+        recipe_a=recipe_a, recipe_b=recipe_b,
+        disable_ue8m0_cast=disable_ue8m0_cast, use_psum_layout=use_psum_layout,
+        ensure_zero_padding=ensure_zero_padding, compiled_dims=compiled_dims)
+
+
+def m_grouped_fp8_fp4_gemm_nt_masked(a, b, d=None, masked_m=None, expected_m=None,
+                                     recipe=None, recipe_a=None, recipe_b=None,
+                                     compiled_dims='nk', disable_ue8m0_cast=False,
+                                     use_psum_layout=False):
+    a_val, sfa = _split_pair(a)
+    b_val, sfb = _split_pair(b)
+    num_groups, max_m, k = a_val.shape
+    n = b_val.shape[1]
+    out_dtype = _out_dtype_of(d)
+
+    if sfa is None:
+        return m_grouped_gemm_masked(a_val, b_val, masked_m, out_dtype=out_dtype,
+                                     expected_m=expected_m)
+
+    recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
+    if sfa.dtype == jnp.int32:
+        sfa = unpack_ue8m0_from_int(sfa)[..., :ceil_div(k, recipe_a[1])]
+    sfa = sfa.astype(jnp.float32)
+    sfb_t = _grouped_sfb_t(sfb, num_groups, n, k, recipe_b, b_kmajor=True)
+    return m_grouped_gemm_masked(
+        a_val, b_val, masked_m, sfa=sfa, sfb_t=sfb_t,
+        gran_k_a=recipe_a[1], gran_k_b=recipe_b[1],
+        out_dtype=out_dtype, expected_m=expected_m)
+
+
+# FP8-only aliases (/root/reference/deep_gemm/__init__.py:47-49)
+m_grouped_fp8_gemm_nt_contiguous = m_grouped_fp8_fp4_gemm_nt_contiguous
+m_grouped_fp8_gemm_nn_contiguous = m_grouped_fp8_fp4_gemm_nn_contiguous
+m_grouped_fp8_gemm_nt_masked = m_grouped_fp8_fp4_gemm_nt_masked
+
+
+def m_grouped_bf16_gemm_nt_contiguous(a, b, d=None, grouped_layout=None,
+                                      compiled_dims='nk', use_psum_layout=False,
+                                      ensure_zero_padding=False):
+    return _m_grouped_contiguous_impl(
+        a, b, d, grouped_layout, b_kmajor=True, use_psum_layout=use_psum_layout,
+        ensure_zero_padding=ensure_zero_padding, compiled_dims=compiled_dims)
+
+
+def m_grouped_bf16_gemm_nn_contiguous(a, b, d=None, grouped_layout=None,
+                                      compiled_dims='nk', use_psum_layout=False,
+                                      ensure_zero_padding=False):
+    return _m_grouped_contiguous_impl(
+        a, b, d, grouped_layout, b_kmajor=False, use_psum_layout=use_psum_layout,
+        ensure_zero_padding=ensure_zero_padding, compiled_dims=compiled_dims)
+
+
+def m_grouped_bf16_gemm_nt_masked(a, b, d=None, masked_m=None, expected_m=None,
+                                  compiled_dims='nk'):
+    return m_grouped_fp8_fp4_gemm_nt_masked(a, b, d, masked_m, expected_m,
+                                            compiled_dims=compiled_dims)

@@ -1,0 +1,86 @@
+"""M-grouped GEMM tests (MoE prefill contiguous + decode masked), the TPU
+analog of /root/reference/tests/test_fp8_fp4.py:75-160 and test_bf16.py."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import deepgemm_tpu as dg
+from deepgemm_tpu.testing import calc_diff
+
+from generators import generate_m_grouped_contiguous, generate_m_grouped_masked
+
+
+@pytest.fixture(autouse=True)
+def _small_alignment():
+    # Keep interpret-mode shapes small: group alignment 128 (the default).
+    dg.set_mk_alignment_for_contiguous_layout(128)
+    yield
+
+
+@pytest.mark.parametrize('num_groups,expected_m', [(4, 128), (3, 200)])
+@pytest.mark.parametrize('use_psum_layout', [False, True])
+def test_m_grouped_contiguous_bf16(num_groups, expected_m, use_psum_layout):
+    n, k = 256, 384
+    m, a, b, layout, ref_d = generate_m_grouped_contiguous(
+        num_groups, expected_m, n, k, use_fp8=False, use_psum_layout=use_psum_layout)
+    d = dg.m_grouped_bf16_gemm_nt_contiguous(a, b, grouped_layout=layout,
+                                             use_psum_layout=use_psum_layout)
+    diff = calc_diff(d, ref_d)
+    assert diff < 1e-5, f'{num_groups=}, {m=}, {use_psum_layout=}, {diff=}'
+
+
+@pytest.mark.parametrize('num_groups,expected_m', [(4, 128)])
+@pytest.mark.parametrize('use_psum_layout', [False, True])
+def test_m_grouped_contiguous_fp8(num_groups, expected_m, use_psum_layout):
+    n, k = 256, 384
+    m, a, b, layout, ref_d = generate_m_grouped_contiguous(
+        num_groups, expected_m, n, k, use_fp8=True, use_psum_layout=use_psum_layout)
+    d = dg.m_grouped_fp8_gemm_nt_contiguous(a, b, grouped_layout=layout,
+                                            use_psum_layout=use_psum_layout)
+    diff = calc_diff(d, ref_d)
+    assert diff < 1e-3, f'{num_groups=}, {m=}, {use_psum_layout=}, {diff=}'
+
+
+def test_m_grouped_contiguous_nn():
+    """MN-major B plumbing (b given as [G, k, n])."""
+    num_groups, n, k = 4, 256, 384
+    m, a, b, layout, ref_d = generate_m_grouped_contiguous(
+        num_groups, 128, n, k, use_fp8=True)
+    b_nn = (b[0].transpose(0, 2, 1), b[1].transpose(0, 2, 1))
+    d = dg.m_grouped_fp8_gemm_nn_contiguous(a, b_nn, grouped_layout=layout)
+    assert calc_diff(d, ref_d) < 1e-3
+
+
+def test_m_grouped_contiguous_ensure_zero_padding():
+    """psum-layout padding rows must come out exactly zero
+    (/root/reference/tests/test_fp8_fp4.py:22-30)."""
+    num_groups, n, k = 3, 256, 256
+    m, a, b, layout, ref_d = generate_m_grouped_contiguous(
+        num_groups, 200, n, k, use_fp8=True, use_psum_layout=True)
+    d = dg.m_grouped_fp8_gemm_nt_contiguous(a, b, grouped_layout=layout,
+                                            use_psum_layout=True,
+                                            ensure_zero_padding=True)
+    assert calc_diff(d, ref_d) < 1e-3
+    ends = np.asarray(layout)
+    alignment = dg.get_mk_alignment_for_contiguous_layout()
+    d_np = np.asarray(d, dtype=np.float32)
+    for end in ends:
+        aligned = dg.align(int(end), alignment)
+        assert not d_np[end:aligned].any(), f'nonzero padding after row {end}'
+
+
+@pytest.mark.parametrize('num_groups,max_m,expected_m', [(4, 256, 96), (3, 128, 20)])
+@pytest.mark.parametrize('use_fp8', [False, True])
+def test_m_grouped_masked(num_groups, max_m, expected_m, use_fp8):
+    n, k = 256, 384
+    a, b, masked_m, ref_d = generate_m_grouped_masked(
+        num_groups, max_m, expected_m, n, k, use_fp8=use_fp8)
+    fn = dg.m_grouped_fp8_gemm_nt_masked if use_fp8 else dg.m_grouped_bf16_gemm_nt_masked
+    d = fn(a, b, masked_m=masked_m, expected_m=expected_m)
+    tol = 1e-3 if use_fp8 else 1e-5
+    m_np = np.asarray(masked_m)
+    for g in range(num_groups):
+        mg = int(m_np[g])
+        diff = calc_diff(d[g, :mg], ref_d[g, :mg])
+        assert diff < tol, f'{g=}, {mg=}, {diff=}'

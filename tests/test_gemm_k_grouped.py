@@ -1,0 +1,101 @@
+"""K-grouped (wgrad) GEMM tests, the TPU analog of
+/root/reference/tests/test_fp8_fp4.py:193-241."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import deepgemm_tpu as dg
+from deepgemm_tpu.testing import calc_diff
+
+from generators import generate_k_grouped_contiguous
+
+
+@pytest.fixture(autouse=True)
+def _alignment():
+    dg.set_mk_alignment_for_contiguous_layout(128)
+    yield
+    dg.set_mk_alignment_for_contiguous_layout(128)
+
+
+@pytest.mark.parametrize('ks', [[256, 384, 128], [128, 0, 256]])
+@pytest.mark.parametrize('use_fp8', [True, False])
+def test_k_grouped_tn(ks, use_fp8):
+    num_groups, m, n = len(ks), 128, 256
+    if use_fp8:
+        k, a, b, c, ref_d, ks_arr = generate_k_grouped_contiguous(
+            num_groups, m, n, ks, use_fp8=True)
+        d = dg.k_grouped_fp8_gemm_tn_contiguous(a, b, ks=ks, grouped_layout=ks_arr, c=c)
+    else:
+        k, a, b, c, ref_d, ks_arr = generate_k_grouped_contiguous(
+            num_groups, m, n, ks, use_fp8=False)
+        d = dg.k_grouped_bf16_gemm_tn_contiguous(a, b, ks=ks, grouped_layout=ks_arr, c=c)
+    assert d.dtype == jnp.float32
+    tol = 1e-3 if use_fp8 else 1e-5
+    for g in range(num_groups):
+        diff = calc_diff(d[g], ref_d[g])
+        assert diff < tol, f'{g=}, {ks[g]=}, {diff=}'
+
+
+def test_k_grouped_tn_psum_layout():
+    """psum end-offset layout with aligned gaps: groups [200, 300] at
+    alignment 128 -> ends [200, 556], total_k = 640."""
+    dg.set_mk_alignment_for_contiguous_layout(128)
+    rng = np.random.RandomState(3)
+    real_ks = [200, 300]
+    ends, prev = [], 0
+    for kg in real_ks:
+        start = dg.align(prev, 128)
+        ends.append(start + kg)
+        prev = ends[-1]
+    total_k = dg.align(ends[-1], 128)
+    m, n, G = 128, 256, len(real_ks)
+
+    a = np.zeros((total_k, m), np.float32)
+    b = np.zeros((total_k, n), np.float32)
+    c = rng.randn(G, m, n).astype(np.float32) * 32
+    ref_d = np.empty_like(c)
+    for g, kg in enumerate(real_ks):
+        start = ends[g] - kg
+        a[start:ends[g]] = rng.randn(kg, m)
+        b[start:ends[g]] = rng.randn(kg, n)
+    a_j = jnp.asarray(a, dtype=jnp.bfloat16)
+    b_j = jnp.asarray(b, dtype=jnp.bfloat16)
+    for g, kg in enumerate(real_ks):
+        start = ends[g] - kg
+        ref_d[g] = c[g] + (np.asarray(a_j[start:ends[g]], np.float32).T
+                           @ np.asarray(b_j[start:ends[g]], np.float32))
+
+    d = dg.k_grouped_bf16_gemm_tn_contiguous(
+        a_j, b_j, grouped_layout=jnp.asarray(ends, dtype=jnp.int32),
+        c=jnp.asarray(c), use_psum_layout=True)
+    for g in range(G):
+        assert calc_diff(d[g], ref_d[g]) < 1e-5, g
+
+
+def test_k_grouped_nt_flattened():
+    """SM90 flattened k-major layout roundtrips through the tn path."""
+    ks = [128, 256]
+    num_groups, m, n = len(ks), 64, 128
+    k, a, b, c, ref_d, ks_arr = generate_k_grouped_contiguous(
+        num_groups, m, n, ks, use_fp8=True)
+    # Flatten to the k-major per-group layout
+    (a_v, a_sf), (b_v, b_sf) = a, b
+
+    def flatten(x, dim):
+        segs, off = [], 0
+        for kg in ks:
+            segs.append(np.asarray(x[off:off + kg]).T.reshape(-1))
+            off += kg
+        return jnp.asarray(np.concatenate(segs)).view(x.dtype)
+
+    a_flat = jnp.asarray(np.concatenate(
+        [np.ascontiguousarray(np.asarray(a_v[sum(ks[:i]):sum(ks[:i + 1])]).T).reshape(-1)
+         for i in range(len(ks))]))
+    b_flat = jnp.asarray(np.concatenate(
+        [np.ascontiguousarray(np.asarray(b_v[sum(ks[:i]):sum(ks[:i + 1])]).T).reshape(-1)
+         for i in range(len(ks))]))
+    d = dg.k_grouped_fp8_gemm_nt_contiguous(
+        (a_flat, a_sf.T), (b_flat, b_sf.T), ks=ks, grouped_layout=ks_arr, c=c)
+    for g in range(num_groups):
+        assert calc_diff(d[g], ref_d[g]) < 1e-3, g
