@@ -39,6 +39,20 @@ from .ops.m_grouped import (
     m_grouped_bf16_gemm_nt_masked,
 )
 
+# Einsum kernels
+from .ops.einsum import einsum, fp8_einsum, fp8_bmm
+
+# HyperConnection kernels
+from .ops.hyperconnection import tf32_hc_prenorm_gemm
+
+# Attention kernels
+from .ops.attention import (
+    fp8_fp4_mqa_logits, fp8_mqa_logits, clean_logits_,
+    fp8_fp4_paged_mqa_logits, fp8_paged_mqa_logits,
+    get_paged_mqa_logits_metadata, split_fused_kv_cache,
+)
+from .ops.gemm import fp8_gemm_nt_skip_head_mid
+
 # K-grouped GEMMs (MoE weight gradients)
 from .ops.k_grouped import (
     k_grouped_fp8_gemm_tn_contiguous, k_grouped_fp8_gemm_nt_contiguous,

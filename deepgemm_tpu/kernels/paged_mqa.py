@@ -1,0 +1,185 @@
+"""Paged MQA logits Pallas kernel (decode-side indexer scoring).
+
+Computes, for each batch element ``b`` with context length ``ctx[b]``, the
+weighted-ReLU MQA scores of ``next_n`` query tokens against a paged KV cache:
+the TPU re-design of /root/reference/deep_gemm/include/deep_gemm/impls/
+sm90_fp8_paged_mqa_logits.cuh and the SM100 variant.
+
+TPU-first mapping: the reference needs a metadata kernel to balance per-batch
+kv splits across persistent SMs
+(scheduler/sm90_paged_mqa_logits.cuh:47-100); on TPU the grid is uniform
+(batch x kv-block) and the *block table itself* is the scalar-prefetch array
+that BlockSpec index maps consume — each grid step DMAs exactly the cache
+block ``block_table[b, c]``, so paging indirection costs nothing extra.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..runtime.cache import kernel_cache
+from ..runtime.config import is_cpu_backend
+from ..utils.math import ceil_div
+
+NEG_INF = float('-inf')
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedMQASpec:
+    batch_size: int
+    next_n: int
+    num_heads: int
+    head_dim: int
+    num_kv_blocks: int
+    block_kv: int
+    max_blocks_per_seq: int     # block_table row length
+    max_model_len: int
+    ctx_2d: bool                # context_lens given per (batch, next_n)
+    logits_dtype: str
+
+
+def _build_paged_mqa(spec: PagedMQASpec):
+    b_sz, nn, h, d = spec.batch_size, spec.next_n, spec.num_heads, spec.head_dim
+    bkv = spec.block_kv
+    out_dtype = jnp.dtype(spec.logits_dtype)
+    mb = spec.max_blocks_per_seq
+    # Each grid step covers a lane-aligned 128-wide output tile = `bpt`
+    # cache blocks, fetched through `bpt` independent paged index maps.
+    bpt = max(1, 128 // bkv)
+    tile_kv = bpt * bkv
+    gkv = ceil_div(spec.max_model_len, tile_kv)
+
+    def kv_map(i):
+        return lambda b, c, bt, ctx: (
+            bt[b * mb + jnp.minimum(c * bpt + i, mb - 1)], 0, 0)
+
+    def sf_map(i):
+        return lambda b, c, bt, ctx: (
+            bt[b * mb + jnp.minimum(c * bpt + i, mb - 1)], 0, 0)
+
+    in_specs = [
+        # q [B, next_n*h, d]
+        pl.BlockSpec((1, nn * h, d), lambda b, c, bt, ctx: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # weights [B, next_n, h]
+        pl.BlockSpec((1, nn, h), lambda b, c, bt, ctx: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for i in range(bpt):
+        # kv cache [num_blocks, block_kv, d] — paged indirection in the map
+        in_specs.append(pl.BlockSpec((1, bkv, d), kv_map(i),
+                                     memory_space=pltpu.VMEM))
+        # kv sf [num_blocks, 1, block_kv]
+        in_specs.append(pl.BlockSpec((1, 1, bkv), sf_map(i),
+                                     memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(bt_ref, ctx_ref, q_ref, w_ref, *refs):
+        out_ref = refs[-1]
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        if spec.ctx_2d:
+            # per-(batch, token) context lengths
+            ctx_rows = [ctx_ref[b * nn + t] for t in range(nn)]
+            ctx = ctx_rows[0]
+            for t in range(1, nn):
+                ctx = jnp.maximum(ctx, ctx_rows[t])
+        else:
+            ctx = ctx_ref[b]
+        active = c * tile_kv < ctx
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, jnp.asarray(NEG_INF, out_dtype))
+
+        @pl.when(active)
+        def _():
+            q_blk = q_ref[0].astype(jnp.bfloat16)            # (nn*h, d)
+            w3 = w_ref[0].astype(jnp.float32)                # (nn, h)
+            parts = []
+            for i in range(bpt):
+                kv_blk = refs[2 * i][0].astype(jnp.bfloat16)  # (bkv, d)
+                sf_row = refs[2 * i + 1][0]                   # (1, bkv)
+                scores = jax.lax.dot_general(
+                    q_blk, kv_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (nn*h, bkv)
+                scores = jnp.maximum(scores, 0.0) * sf_row
+                s3 = scores.reshape(nn, h, bkv)
+                parts.append(jnp.sum(s3 * w3[:, :, None], axis=1))
+            logits = jnp.concatenate(parts, axis=1)          # (nn, tile_kv)
+
+            # Causal/context mask: token t of the query block attends to kv
+            # positions <= its own offset (reference semantics,
+            # tests/test_attention.py:255-275)
+            col = c * tile_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (nn, tile_kv), 1)
+            if spec.ctx_2d:
+                q_off = jnp.zeros((nn, 1), jnp.int32)
+                rid = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)
+                for t, r in enumerate(ctx_rows):
+                    q_off = jnp.where(rid == t, r, q_off)
+            else:
+                q_off = ctx - nn + 1 + jax.lax.broadcasted_iota(
+                    jnp.int32, (nn, 1), 0)
+            valid = (col < ctx) & (col < q_off)
+            out_ref[0] = jnp.where(valid, logits.astype(out_dtype),
+                                   jnp.asarray(NEG_INF, out_dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b_sz, gkv),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_sz, nn, spec.max_model_len), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_sz * nn * h * d * spec.max_model_len,
+            bytes_accessed=0, transcendentals=0),
+        interpret=is_cpu_backend(),
+    )
+    return jax.jit(call)
+
+
+def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
+                     weights: jnp.ndarray, context_lens: jnp.ndarray,
+                     block_table: jnp.ndarray, max_model_len: int,
+                     logits_dtype=jnp.float32) -> jnp.ndarray:
+    """q [B, next_n, h, d] fp8; kv_cache [num_blocks, block_kv, d] fp8 with
+    per-token kv_sf [num_blocks, block_kv] f32; weights [B*next_n, h];
+    context_lens [B] (1D, causal per-token offsets) or [B, next_n] (2D, all
+    rows see ctx). Returns [B*next_n, max_model_len] with -inf outside range."""
+    b_sz, nn, h, d = q.shape
+    num_blocks, bkv = kv_cache.shape[0], kv_cache.shape[1]
+    mb = block_table.shape[1]
+    ctx_2d = context_lens.ndim == 2
+
+    spec = PagedMQASpec(
+        batch_size=b_sz, next_n=nn, num_heads=h, head_dim=d,
+        num_kv_blocks=num_blocks, block_kv=bkv, max_blocks_per_seq=mb,
+        max_model_len=max_model_len, ctx_2d=ctx_2d,
+        logits_dtype=str(jnp.dtype(logits_dtype)))
+    fn = kernel_cache().get_or_build(spec, lambda: _build_paged_mqa(spec))
+
+    q3 = q.reshape(b_sz, nn * h, d)
+    w3 = weights.reshape(b_sz, nn, h)
+    # Clamp table entries so out-of-context garbage never indexes OOB
+    bt = jnp.clip(block_table.astype(jnp.int32), 0, num_blocks - 1).reshape(-1)
+    ctx = context_lens.astype(jnp.int32).reshape(-1)
+    sf3 = kv_sf.astype(jnp.float32).reshape(num_blocks, 1, bkv)
+    bpt = max(1, 128 // bkv)
+    args = [bt, ctx, q3, w3]
+    for _ in range(bpt):
+        args += [kv_cache, sf3]
+    out = fn(*args)
+    return out.reshape(b_sz * nn, max_model_len)

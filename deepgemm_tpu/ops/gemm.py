@@ -113,6 +113,28 @@ fp8_gemm_tn = fp8_fp4_gemm_tn
 fp8_gemm_tt = fp8_fp4_gemm_tt
 
 
+def fp8_gemm_nt_skip_head_mid(a, b, d=None, head_splits=None, c=None,
+                              recipe=None, recipe_a=None, recipe_b=None,
+                              compiled_dims='nk', disable_ue8m0_cast=False):
+    """NT GEMM whose per-head output columns are scattered into a wider
+    [left | zero-mid | right] per-head layout — the head-split epilogue
+    (/root/reference/csrc/apis/attention.hpp:19-74, EpilogueHeadSplits in
+    deep_gemm/include/deep_gemm/epilogue/transform.cuh:7-22). On TPU the
+    column remap is a pad+reshape XLA fuses into the kernel's consumer."""
+    left, mid, right = head_splits
+    dd = _gemm_impl(a, b, d, c, a_kmajor=True, b_kmajor=True,
+                    recipe=recipe, recipe_a=recipe_a, recipe_b=recipe_b,
+                    compiled_dims=compiled_dims,
+                    disable_ue8m0_cast=disable_ue8m0_cast)
+    m, n = dd.shape
+    assert n % (left + right) == 0
+    num_heads = n // (left + right)
+    dd = dd.reshape(m, num_heads, left + right)
+    zeros = jnp.zeros((m, num_heads, mid), dtype=dd.dtype)
+    out = jnp.concatenate([dd[:, :, :left], zeros, dd[:, :, left:]], axis=2)
+    return out.reshape(m, num_heads * (left + mid + right))
+
+
 # ---------------------------------------------------------------------------
 # BF16 GEMMs (/root/reference/csrc/apis/gemm.hpp + impls/sm90_bf16_gemm.cuh)
 # ---------------------------------------------------------------------------

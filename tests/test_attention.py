@@ -1,0 +1,233 @@
+"""MQA lightning-indexer logits tests (TPU analog of
+/root/reference/tests/test_attention.py:64-246): exact-fp32 reference,
+quantized "simulated" reference, -inf mask equality, bitwise self-consistency,
+CP-window ranges, compressed layout."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import deepgemm_tpu as dg
+from deepgemm_tpu.testing import calc_diff, assert_bitwise_equal
+
+from generators import f32
+
+
+def ref_mqa_logits(q, kv, weights, ks, ke):
+    """FP32 numpy oracle (mirrors /root/reference/tests/test_attention.py:86-115)."""
+    sq, h, d = q.shape
+    skv = kv.shape[0]
+    score = np.einsum('mhd,nd->hmn', f32(q), f32(kv))
+    logits = np.einsum('hmn,mh->mn', np.maximum(score, 0), f32(weights))
+    cols = np.arange(skv)
+    mask = (cols[None, :] >= ks[:, None]) & (cols[None, :] < ke[:, None])
+    return np.where(mask, logits, -np.inf)
+
+
+def make_ranges(sq, skv, disable_cp):
+    """CP-window [ks, ke) generator (tests/test_attention.py:119-134)."""
+    if disable_cp:
+        ks = np.zeros(sq, np.int32)
+        ke = np.arange(sq, dtype=np.int32) + (skv - sq)
+        return ks, ke
+    chunk = sq // 2
+    cp = skv // sq
+    cp_id = cp // 3
+    ks = np.zeros(sq, np.int32)
+    ke = np.zeros(sq, np.int32)
+    for i in range(chunk):
+        ke[i] = cp_id * chunk + i
+        ke[i + chunk] = (cp * 2 - 1 - cp_id) * chunk + i
+    return ks, ke
+
+
+def quantize_inputs(q, kv):
+    q_fp8 = jnp.clip(q.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    kv_fp8, kv_sf = dg.per_custom_dims_cast_to_fp8(kv, (0,), use_ue8m0=False)
+    return q_fp8, kv_fp8, kv_sf
+
+
+@pytest.mark.parametrize('sq,skv,h,d', [(128, 512, 8, 64), (64, 256, 4, 128)])
+@pytest.mark.parametrize('disable_cp', [True, False])
+def test_fp8_mqa_logits(sq, skv, h, d, disable_cp):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(sq, h, d), dtype=jnp.bfloat16)
+    kv = jnp.asarray(rng.randn(skv, d), dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.randn(sq, h).astype(np.float32))
+    ks, ke = make_ranges(sq, skv, disable_cp)
+
+    q_fp8, kv_fp8, kv_sf = quantize_inputs(q, kv)
+    logits = dg.fp8_mqa_logits((q_fp8, None), (kv_fp8, kv_sf), w,
+                               jnp.asarray(ks), jnp.asarray(ke))
+    assert logits.shape == (sq, skv)
+    ref = ref_mqa_logits(q, kv, w, ks, ke)
+
+    # -inf masks match exactly
+    l_np = np.asarray(logits)
+    np.testing.assert_array_equal(np.isneginf(l_np), np.isneginf(ref))
+
+    # quantized-input oracle: same math as the kernel on dequantized values
+    kv_deq = (f32(kv_fp8) * np.asarray(kv_sf)[:, None]).astype(np.float32)
+    sim = ref_mqa_logits(np.asarray(q_fp8).astype(np.float32), kv_deq, w, ks, ke)
+    mask = ~np.isneginf(ref)
+    assert calc_diff(np.where(mask, l_np, 0), np.where(mask, sim, 0)) < 1e-5
+    assert calc_diff(np.where(mask, l_np, 0), np.where(mask, ref, 0)) < 1e-3
+
+
+def test_mqa_logits_self_consistency():
+    """Bitwise determinism across runs
+    (/root/reference/tests/test_attention.py:205-209)."""
+    rng = np.random.RandomState(1)
+    sq, skv, h, d = 64, 256, 8, 64
+    q = jnp.asarray(rng.randn(sq, h, d), dtype=jnp.bfloat16)
+    kv = jnp.asarray(rng.randn(skv, d), dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.randn(sq, h).astype(np.float32))
+    ks, ke = make_ranges(sq, skv, True)
+    q_fp8, kv_fp8, kv_sf = quantize_inputs(q, kv)
+    args = ((q_fp8, None), (kv_fp8, kv_sf), w, jnp.asarray(ks), jnp.asarray(ke))
+    first = dg.fp8_mqa_logits(*args)
+    for _ in range(5):
+        assert_bitwise_equal(dg.fp8_mqa_logits(*args), first,
+                             'mqa logits self-consistency')
+
+
+def test_mqa_logits_compressed():
+    """Compressed max_seqlen_k layout (row i holds [ks_i, ke_i) at cols 0..)."""
+    rng = np.random.RandomState(2)
+    sq, skv, h, d = 64, 512, 4, 64
+    q = jnp.asarray(rng.randn(sq, h, d), dtype=jnp.bfloat16)
+    kv = jnp.asarray(rng.randn(skv, d), dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.randn(sq, h).astype(np.float32))
+    ks, ke = make_ranges(sq, skv, True)   # ks == 0
+    maxk = int((ke - ks).max())
+
+    q_fp8, kv_fp8, kv_sf = quantize_inputs(q, kv)
+    logits = dg.fp8_fp4_mqa_logits((q_fp8, None), (kv_fp8, kv_sf), w,
+                                   jnp.asarray(ks), jnp.asarray(ke),
+                                   max_seqlen_k=maxk)
+    assert logits.shape == (sq, maxk)
+    full = dg.fp8_fp4_mqa_logits((q_fp8, None), (kv_fp8, kv_sf), w,
+                                 jnp.asarray(ks), jnp.asarray(ke))
+    l_np, f_np = np.asarray(logits), np.asarray(full)
+    for i in range(sq):
+        lo, hi = int(ks[i]), int(ke[i])
+        np.testing.assert_array_equal(l_np[i, :hi - lo], f_np[i, lo:hi])
+
+
+def test_mqa_logits_bf16_weights_and_logits():
+    rng = np.random.RandomState(3)
+    sq, skv, h, d = 64, 256, 8, 64
+    q = jnp.asarray(rng.randn(sq, h, d), dtype=jnp.bfloat16)
+    kv = jnp.asarray(rng.randn(skv, d), dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.randn(sq, h), dtype=jnp.bfloat16)
+    ks, ke = make_ranges(sq, skv, True)
+    q_fp8, kv_fp8, kv_sf = quantize_inputs(q, kv)
+    logits = dg.fp8_fp4_mqa_logits((q_fp8, None), (kv_fp8, kv_sf), w,
+                                   jnp.asarray(ks), jnp.asarray(ke),
+                                   logits_dtype=jnp.bfloat16)
+    assert logits.dtype == jnp.bfloat16
+    ref = ref_mqa_logits(q, kv, w, ks, ke)
+    mask = ~np.isneginf(ref)
+    assert calc_diff(np.where(mask, np.asarray(logits, np.float32), 0),
+                     np.where(mask, ref, 0)) < 5e-3
+
+
+def test_clean_logits():
+    rng = np.random.RandomState(4)
+    logits = jnp.asarray(rng.randn(32, 128).astype(np.float32))
+    ks = jnp.asarray(rng.randint(0, 32, size=32), dtype=jnp.int32)
+    ke = ks + jnp.asarray(rng.randint(1, 96, size=32), dtype=jnp.int32)
+    out = np.asarray(dg.clean_logits_(logits, ks, ke))
+    cols = np.arange(128)
+    mask = (cols[None, :] >= np.asarray(ks)[:, None]) & (cols[None, :] < np.asarray(ke)[:, None])
+    np.testing.assert_array_equal(np.isneginf(out), ~mask)
+    np.testing.assert_array_equal(out[mask], np.asarray(logits)[mask])
+
+
+def make_fused_kv_cache(rng, num_blocks, block_kv, d):
+    """Build the reference fused byte cache layout
+    (tests/test_attention.py:293-305) in numpy."""
+    kv = rng.randn(num_blocks, block_kv, d).astype(np.float32)
+    amax = np.clip(np.abs(kv).max(axis=2, keepdims=True), 1e-4, None)
+    sf = (amax / 448.0).astype(np.float32)
+    vals = np.asarray(jnp.asarray(kv / sf).astype(jnp.float8_e4m3fn))
+    fused = np.empty((num_blocks, block_kv * (d + 4)), np.uint8)
+    fused[:, :block_kv * d] = vals.reshape(num_blocks, -1).view(np.uint8)
+    fused[:, block_kv * d:] = sf.reshape(num_blocks, -1).view(np.uint8)
+    kv_deq = vals.astype(np.float32) * sf
+    return fused.reshape(num_blocks, block_kv, 1, d + 4), vals, sf[:, :, 0], kv_deq
+
+
+@pytest.mark.parametrize('next_n', [1, 2])
+def test_paged_mqa_logits(next_n):
+    rng = np.random.RandomState(5)
+    B, h, d = 4, 8, 64
+    block_kv, blocks_per_seq = 64, 6
+    max_model_len = block_kv * blocks_per_seq
+    num_blocks = B * blocks_per_seq + 3
+
+    fused, vals, sf, kv_deq = make_fused_kv_cache(rng, num_blocks, block_kv, d)
+    perm = rng.permutation(num_blocks)[:B * blocks_per_seq]
+    block_table = perm.reshape(B, blocks_per_seq).astype(np.int32)
+    context_lens = rng.randint(next_n + 1, max_model_len, size=B).astype(np.int32)
+
+    q = jnp.asarray(rng.randn(B, next_n, h, d), dtype=jnp.bfloat16)
+    q_fp8 = jnp.clip(q.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    w = jnp.asarray(rng.randn(B * next_n, h).astype(np.float32))
+
+    meta = dg.get_paged_mqa_logits_metadata(jnp.asarray(context_lens), block_kv, 0)
+    logits = dg.fp8_paged_mqa_logits(
+        (q_fp8, None), jnp.asarray(fused), w, jnp.asarray(context_lens),
+        jnp.asarray(block_table), meta, max_model_len)
+    assert logits.shape == (B * next_n, max_model_len)
+
+    # numpy oracle (mirrors ref_paged_mqa_logits, tests/test_attention.py:248-276)
+    l_np = np.asarray(logits)
+    q_np = np.asarray(q_fp8).astype(np.float32)
+    w_np = np.asarray(w)
+    for i in range(B):
+        ctx = int(context_lens[i])
+        kv_seq = kv_deq[block_table[i]].reshape(-1, d)     # [max_model_len, d]
+        for t in range(next_n):
+            row = i * next_n + t
+            scores = np.maximum(q_np[i, t] @ kv_seq.T, 0)   # [h, L]
+            vals_row = (w_np[row][:, None] * scores).sum(0)
+            q_off = ctx - next_n + 1 + t
+            cols = np.arange(max_model_len)
+            mask = (cols < ctx) & (cols < q_off)
+            expected = np.where(mask, vals_row, -np.inf)
+            got = l_np[row]
+            np.testing.assert_array_equal(np.isneginf(got), ~mask)
+            diff = calc_diff(np.where(mask, got, 0), np.where(mask, expected, 0))
+            assert diff < 1e-5, f'{i=}, {t=}, {diff=}'
+
+
+def test_paged_mqa_logits_2d_context():
+    rng = np.random.RandomState(6)
+    B, next_n, h, d = 2, 2, 4, 32
+    block_kv, blocks_per_seq = 64, 2
+    max_model_len = block_kv * blocks_per_seq
+    num_blocks = B * blocks_per_seq
+    fused, vals, sf, kv_deq = make_fused_kv_cache(rng, num_blocks, block_kv, d)
+    block_table = np.arange(num_blocks, dtype=np.int32).reshape(B, blocks_per_seq)
+    ctx2d = rng.randint(2, max_model_len, size=(B, next_n)).astype(np.int32)
+
+    q = jnp.asarray(rng.randn(B, next_n, h, d), dtype=jnp.bfloat16)
+    q_fp8 = jnp.clip(q.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    w = jnp.asarray(rng.randn(B * next_n, h).astype(np.float32))
+    logits = dg.fp8_fp4_paged_mqa_logits(
+        (q_fp8, None), jnp.asarray(fused), w, jnp.asarray(ctx2d),
+        jnp.asarray(block_table), None, max_model_len)
+    l_np = np.asarray(logits)
+    q_np = np.asarray(q_fp8).astype(np.float32)
+    for i in range(B):
+        kv_seq = kv_deq[block_table[i]].reshape(-1, d)
+        for t in range(next_n):
+            row = i * next_n + t
+            ctx = int(ctx2d[i, t])
+            scores = np.maximum(q_np[i, t] @ kv_seq.T, 0)
+            vals_row = (np.asarray(w)[row][:, None] * scores).sum(0)
+            mask = np.arange(max_model_len) < ctx
+            diff = calc_diff(np.where(mask, l_np[row], 0), np.where(mask, vals_row, 0))
+            assert diff < 1e-5, f'{i=}, {t=}, {diff=}'
+            assert np.all(np.isneginf(l_np[row][~mask]))
