@@ -59,30 +59,35 @@ def get_gemm_config(m: int, n: int, k: int,
                     gran_k: int = 128,
                     num_groups: int = 1,
                     is_grouped_m: bool = False,
-                    mk_alignment: int = 128) -> GemmConfig:
+                    mk_alignment: int = 128,
+                    scale_strategy: Optional[str] = None) -> GemmConfig:
     """Pick Pallas tile sizes for a (possibly grouped) NT GEMM.
 
     Follows the reference heuristic intent (larger tiles for larger problems,
     block_m pinned to the contiguous-group alignment for m-grouped layouts —
     csrc/jit_kernels/heuristics/sm90.hpp:31-34) re-targeted at MXU/VMEM.
+    Tile defaults are tuned on TPU v5e: 512x1024 for BF16, 512x512 for the
+    scaled paths (the promote epilogue adds VPU pressure).
     """
     ab_bytes = _dtype_bytes(a_dtype) + _dtype_bytes(b_dtype)
     out_bytes = _dtype_bytes(out_dtype)
+    is_scaled = scale_strategy is not None
 
     if is_grouped_m:
         # Each m-tile must lie entirely inside one group: pin block_m to the
         # group start alignment (or a divisor of it).
-        block_m = min(mk_alignment, 256)
+        block_m = min(mk_alignment, 512)
     else:
-        block_m = _pick_block(m, 256, _MIN_SUBLANES[_dtype_bytes(a_dtype)])
+        block_m = _pick_block(m, 512, _MIN_SUBLANES[_dtype_bytes(a_dtype)])
 
     # Lane-dim (n) blocks want multiples of the MXU width; fall back to the
     # largest MXU-fraction divisor for ragged n (e.g. n=576 -> 192).
+    n_pref = 1024
     if n % MXU_DIM == 0:
-        block_n = _pick_block(n, 256 if m >= 256 else 512, MXU_DIM)
+        block_n = _pick_block(n, n_pref, MXU_DIM)
     else:
-        block_n = n if n <= 512 else align(n, MXU_DIM)
-        block_n = min(block_n, 512)
+        block_n = n if n <= n_pref else align(n, MXU_DIM)
+        block_n = min(block_n, n_pref)
 
     # k blocks are multiples of the scale granularity so each in-kernel
     # promotion step covers whole scale blocks.
@@ -99,6 +104,7 @@ def get_gemm_config(m: int, n: int, k: int,
     while working_set(block_m, block_n, block_k) > VMEM_BUDGET and block_n > MXU_DIM:
         block_n //= 2
 
-    strategy = 'promote' if gran_k >= MXU_DIM else 'dequant'
+    if scale_strategy is None:
+        scale_strategy = 'promote'
     return GemmConfig(block_m=block_m, block_n=block_n, block_k=block_k,
-                      scale_strategy=strategy)
+                      scale_strategy=scale_strategy)

@@ -2,9 +2,17 @@
 
 TPU-native re-design of the reference dense kernels:
   * BF16 "NoSF" kernel (/root/reference/deep_gemm/include/deep_gemm/impls/sm90_bf16_gemm.cuh)
-  * FP8 1D2D / 1D1D scaled kernels with the f32 "promotion" epilogue
-    ``final += (sfa * sfb) * partial`` applied per scale-granularity k-block
-    (/root/reference/deep_gemm/include/deep_gemm/impls/sm90_fp8_gemm_1d2d.cuh:332-347).
+  * FP8 1D2D / 1D1D scaled kernels with two scale-application strategies:
+      - 'promote': f32 promotion epilogue ``final += (sfa*sfb) * partial`` per
+        scale-granularity k-block — exact reference numerics
+        (/root/reference/deep_gemm/include/deep_gemm/impls/sm90_fp8_gemm_1d2d.cuh:332-347),
+        but VPU-bound on TPU (2*m*n*k/128 vector FLOPs).
+      - 'dequant': fold the scales into the bf16 operands and run one
+        full-depth MXU pass per k step. Mathematically identical
+        ((a_s*u_s) @ (b_s*v_s)^T == (a_s @ b_s^T) * u_s v_s^T) and BIT-exact
+        whenever the scales are powers of two (UE8M0 recipes — the SM100
+        reference path), since scaling is then a pure exponent shift on bf16.
+        ~4-5x faster on TPU; the API layer selects it for UE8M0 scales.
 
 Design notes (TPU-first):
   * One persistent f32 accumulator block in VMEM scratch; grid (gm, gn, gk)
@@ -13,16 +21,17 @@ Design notes (TPU-first):
   * All four NT/NN/TN/TT layouts are handled with BlockSpec index maps +
     dot_general dimension numbers — no operand is ever materially transposed.
   * FP8 operands are upcast e4m3->bf16 in-register (exact) and fed to the MXU
-    with f32 accumulation, so per-k-block partial products are bit-exact; the
-    scale promotion then matches the reference numerics.
-  * The scale tensor for B is consumed K-major (``sfb_t``): the API layer
-    transposes it once (tiny) — the analog of
-    ``transform_sf_into_required_layout`` (/root/reference/csrc/apis/layout.hpp:14-61).
+    with f32 accumulation, so per-k-block partial products are bit-exact.
+  * SF tensors are consumed in a strategy/major-dependent "required layout"
+    (the analog of ``transform_sf_into_required_layout``,
+    /root/reference/csrc/apis/layout.hpp:14-61):
+      - promote: sfa [m, ksf] (m-major), sfb [ksf, n] (k-major)
+      - dequant: each SF follows its operand's orientation so the in-kernel
+        scale expansion is a broadcast repeat along the operand's k axis.
 """
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..heuristics.configs import GemmConfig, get_gemm_config
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend
-from ..utils.math import align, ceil_div
+from ..utils.math import ceil_div
 from .common import dot_mn, k_slice, onehot_cols, onehot_rows, mask_k_tail
 
 
@@ -49,13 +58,37 @@ class DenseGemmSpec:
     b_dtype: str
     out_dtype: str
     accumulate: bool
-    # None (bf16), 'pertoken' (1 x gran), or 'perblock' (gran x gran) for B;
-    # A is always 'pertoken' when scaled.
-    sf_kind_b: Optional[str]
+    is_scaled: bool
     gran_k_a: int
     gran_k_b: int
     cfg: GemmConfig
 
+
+def _sf_spec(kmajor_like_operand: bool, n_sf: int, bdim: int, idx_pos: int):
+    """BlockSpec for an SF tensor: [dim, n_sf] blocked (bdim, n_sf) when the
+    operand is k-major, else [n_sf, dim] blocked (n_sf, bdim)."""
+    if kmajor_like_operand:
+        if idx_pos == 0:
+            return pl.BlockSpec((bdim, n_sf), lambda i, j, s: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((bdim, n_sf), lambda i, j, s: (j, 0),
+                            memory_space=pltpu.VMEM)
+    if idx_pos == 0:
+        return pl.BlockSpec((n_sf, bdim), lambda i, j, s: (0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((n_sf, bdim), lambda i, j, s: (0, j),
+                        memory_space=pltpu.VMEM)
+
+
+def _select_and_expand(sf_blk, operand_kmajor: bool, n_sf: int, nsub: int,
+                       first, gran: int, bk: int):
+    """Pick this k-step's scale entries and expand to the operand block's
+    shape: (bdim, bk) for a k-major operand, (bk, bdim) otherwise."""
+    if operand_kmajor:
+        sel = onehot_cols(sf_blk, n_sf, nsub, first)      # (bdim, nsub)
+        return jnp.repeat(sel, gran, axis=1)              # (bdim, bk)
+    sel = onehot_rows(sf_blk, n_sf, nsub, first)          # (nsub, bdim)
+    return jnp.repeat(sel, gran, axis=0)                  # (bk, bdim)
 
 
 def _build_dense_gemm(spec: DenseGemmSpec):
@@ -63,9 +96,9 @@ def _build_dense_gemm(spec: DenseGemmSpec):
     bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
     m, n, k = spec.m, spec.n, spec.k
     gm, gn, gk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
-    a_dtype = jnp.dtype(spec.a_dtype)
     out_dtype = jnp.dtype(spec.out_dtype)
-    is_scaled = spec.sf_kind_b is not None
+    is_scaled = spec.is_scaled
+    dequant = cfg.scale_strategy == 'dequant'
     gka, gkb = spec.gran_k_a, spec.gran_k_b
     has_k_tail = (k % bk) != 0
     n_sf_a = ceil_div(k, gka)
@@ -81,18 +114,14 @@ def _build_dense_gemm(spec: DenseGemmSpec):
     in_specs = [a_spec, b_spec]
 
     if is_scaled:
-        # SF blocks keep the k (scale) dim whole so lane/sublane tiling
-        # constraints are met; the kernel selects the active scale entries
-        # per k-step with one-hot matmuls (no dynamic lane slicing, which
-        # Mosaic requires to be 128-aligned).
-        # sfa: [m, ceil(k/gka)] f32, m-major
-        in_specs.append(pl.BlockSpec((bm, n_sf_a), lambda i, j, s: (i, 0),
-                                     memory_space=pltpu.VMEM))
-        # sfb_t: [ceil(k/gkb), n] f32 — per-token rows (perblock SF is
-        # broadcast to rows by the API layer, the analog of the reference's
-        # 128x128 -> 1x128 row index_select, csrc/apis/layout.hpp:49-53)
-        in_specs.append(pl.BlockSpec((n_sf_b, bn), lambda i, j, s: (0, j),
-                                     memory_space=pltpu.VMEM))
+        # SF blocks keep the k (scale) dim whole; the kernel selects this
+        # k-step's entries with one-hot matmuls (Mosaic forbids unaligned
+        # dynamic lane slicing). Out-of-range selections are 0, which also
+        # implements the k-tail for free.
+        sfa_kmaj = spec.a_kmajor if dequant else True
+        sfb_kmaj = spec.b_kmajor if dequant else False
+        in_specs.append(_sf_spec(sfa_kmaj, n_sf_a, bm, idx_pos=0))
+        in_specs.append(_sf_spec(sfb_kmaj, n_sf_b, bn, idx_pos=1))
 
     if spec.accumulate:
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
@@ -102,7 +131,6 @@ def _build_dense_gemm(spec: DenseGemmSpec):
 
     # ---- Kernel body -------------------------------------------------------
     def kernel(*refs):
-        idx = 0
         a_ref, b_ref = refs[0], refs[1]
         idx = 2
         if is_scaled:
@@ -126,17 +154,23 @@ def _build_dense_gemm(spec: DenseGemmSpec):
             a_blk = mask_k_tail(a_blk, spec.a_kmajor, ki * bk, k)
             b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
 
+        nsub_a, nsub_b = bk // gka, bk // gkb
         if not is_scaled:
             acc_ref[:] += dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor)
+        elif dequant:
+            sfa_exp = _select_and_expand(sfa_ref[:], spec.a_kmajor, n_sf_a,
+                                         nsub_a, ki * nsub_a, gka, bk)
+            sfb_exp = _select_and_expand(sfb_ref[:], spec.b_kmajor, n_sf_b,
+                                         nsub_b, ki * nsub_b, gkb, bk)
+            a_s = a_blk.astype(jnp.bfloat16) * sfa_exp.astype(jnp.bfloat16)
+            b_s = b_blk.astype(jnp.bfloat16) * sfb_exp.astype(jnp.bfloat16)
+            acc_ref[:] += dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
         else:
-            a_blk = a_blk.astype(jnp.bfloat16)   # e4m3 -> bf16 is exact
-            b_blk = b_blk.astype(jnp.bfloat16)
             # Promotion loop over scale-granularity sub-blocks
-            # (reference: sm90_fp8_gemm_1d2d.cuh:332-347).
+            # (reference: sm90_fp8_gemm_1d2d.cuh:332-347). FP8 operands feed
+            # the MXU directly (Mosaic handles e4m3 natively; bit-identical
+            # to an explicit bf16 upcast and ~4x faster on v5e).
             gsub = min(gka, gkb)
-            nsub_a, nsub_b = bk // gka, bk // gkb
-            # Gather this k-block's scale columns/rows with one-hot matmuls:
-            # out-of-range sub-blocks (k tail) select nothing -> scale 0.
             sfa_sel = onehot_cols(sfa_ref[:], n_sf_a, nsub_a, ki * nsub_a)  # (bm, nsub_a)
             sfb_sel = onehot_rows(sfb_ref[:], n_sf_b, nsub_b, ki * nsub_b)  # (nsub_b, bn)
             for s in range(bk // gsub):
@@ -145,8 +179,9 @@ def _build_dense_gemm(spec: DenseGemmSpec):
                 p = dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
                 sa = s * gsub // gka
                 sb = s * gsub // gkb
-                scale = sfa_sel[:, sa:sa + 1] * sfb_sel[sb:sb + 1, :]  # (bm, bn)
-                acc_ref[:] += p * scale
+                # two broadcast multiplies (row, then column FMA) instead of
+                # materializing the outer-product scale matrix
+                acc_ref[:] += (p * sfb_sel[sb:sb + 1, :]) * sfa_sel[:, sa:sa + 1]
 
         @pl.when(ki == gk - 1)
         def _():
@@ -172,6 +207,14 @@ def _build_dense_gemm(spec: DenseGemmSpec):
     return jax.jit(call)
 
 
+def required_sf_orientation(strategy: str, a_kmajor: bool, b_kmajor: bool):
+    """(sfa_kmajor_like, sfb_kmajor_like): whether each SF is consumed
+    [dim, ksf] (True) or [ksf, dim] (False)."""
+    if strategy == 'dequant':
+        return a_kmajor, b_kmajor
+    return True, False
+
+
 def dense_gemm(a: jnp.ndarray, b: jnp.ndarray,
                sfa: Optional[jnp.ndarray] = None,
                sfb_t: Optional[jnp.ndarray] = None,
@@ -183,30 +226,31 @@ def dense_gemm(a: jnp.ndarray, b: jnp.ndarray,
                gran_k_a: int = 128,
                gran_k_b: int = 128,
                out_dtype=jnp.bfloat16,
+               scale_strategy: str = 'promote',
                cfg: Optional[GemmConfig] = None) -> jnp.ndarray:
-    """d[m, n] (+= c) = a @ b^T with optional block-scale dequant promotion.
+    """d[m, n] (+= c) = a @ b^T with optional block-scale dequant.
 
-    ``a`` is [m, k] (k-major) or [k, m]; ``b`` is [n, k] (k-major, the NT
-    layout) or [k, n]. ``sfa`` is [m, ceil(k/gran_k_a)]; ``sfb_t`` is K-major:
-    [ceil(k/gran_k_b), ceil(n/gran_k_b)] ('perblock') or [ceil(k/gran_k_b), n]
-    ('pertoken').
-    """
+    ``a`` is [m, k] (k-major) or [k, m]; ``b`` is [n, k] (k-major, NT) or
+    [k, n]. SFs must be pre-oriented per :func:`required_sf_orientation`
+    (handled by the ops layer)."""
     m = a.shape[1] if not a_kmajor else a.shape[0]
     k = a.shape[0] if not a_kmajor else a.shape[1]
     n = b.shape[0] if b_kmajor else b.shape[1]
+    is_scaled = sfa is not None
 
     if cfg is None:
         cfg = get_gemm_config(m, n, k, a.dtype, b.dtype, out_dtype,
-                              gran_k=min(gran_k_a, gran_k_b) if sf_kind_b else 128)
+                              gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
+                              scale_strategy=scale_strategy if is_scaled else None)
     spec = DenseGemmSpec(
         m=m, n=n, k=k, a_kmajor=a_kmajor, b_kmajor=b_kmajor,
         a_dtype=str(a.dtype), b_dtype=str(b.dtype), out_dtype=str(jnp.dtype(out_dtype)),
-        accumulate=c is not None, sf_kind_b=sf_kind_b,
+        accumulate=c is not None, is_scaled=is_scaled,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b, cfg=cfg)
     fn = kernel_cache().get_or_build(spec, lambda: _build_dense_gemm(spec))
 
     args = [a, b]
-    if sf_kind_b is not None:
+    if is_scaled:
         args += [sfa, sfb_t]
     if c is not None:
         args.append(c)

@@ -88,8 +88,6 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
         if not spec.is_scaled:
             acc_ref[:] += dot_mn(a_blk, b_blk, False, False)
         else:
-            a_blk = a_blk.astype(jnp.bfloat16)
-            b_blk = b_blk.astype(jnp.bfloat16)
             sfa_blk = refs[3][:]      # (bm, nsf)
             sfb_blk = refs[4][:]      # (nsf, bn)
             for t in range(bk // gsub):

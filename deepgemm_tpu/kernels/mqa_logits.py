@@ -103,8 +103,8 @@ def _build_mqa_logits(spec: MQALogitsSpec):
 
         @pl.when(active)
         def _():
-            q_blk = q_ref[:].astype(jnp.bfloat16)         # (bq*h, d)
-            kv_blk = kv_ref[:].astype(jnp.bfloat16)       # (bkv, d)
+            q_blk = q_ref[:]                              # (bq*h, d) fp8/bf16
+            kv_blk = kv_ref[:]                            # (bkv, d)
             scores = jax.lax.dot_general(
                 q_blk, kv_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # (bq*h, bkv)

@@ -99,11 +99,11 @@ def _build_paged_mqa(spec: PagedMQASpec):
 
         @pl.when(active)
         def _():
-            q_blk = q_ref[0].astype(jnp.bfloat16)            # (nn*h, d)
+            q_blk = q_ref[0]                                 # (nn*h, d)
             w3 = w_ref[0].astype(jnp.float32)                # (nn, h)
             parts = []
             for i in range(bpt):
-                kv_blk = refs[2 * i][0].astype(jnp.bfloat16)  # (bkv, d)
+                kv_blk = refs[2 * i][0]                       # (bkv, d)
                 sf_row = refs[2 * i + 1][0]                   # (1, bkv)
                 scores = jax.lax.dot_general(
                     q_blk, kv_blk, dimension_numbers=(((1,), (1,)), ((), ())),

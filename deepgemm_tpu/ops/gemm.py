@@ -19,8 +19,8 @@ from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
 
-from ..kernels.dense import dense_gemm
-from ..utils.math import ceil_div
+from ..kernels.dense import dense_gemm, required_sf_orientation
+from ..utils.math import ceil_div, ceil_to_ue8m0
 from .sf_layout import resolve_recipes, transform_sfa, transform_sfb
 
 
@@ -61,13 +61,26 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
     recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
     gran_k_a, gran_k_b = recipe_a[1], recipe_b[1]
 
-    sfa = transform_sfa(sfa, m, k, gran_k_a, a_kmajor)
-    sfb_t = transform_sfb(sfb, n, k, recipe_b, b_kmajor)
+    # Strategy selection mirrors the reference's arch split
+    # (/root/reference/csrc/apis/gemm.hpp:110-123): UE8M0 scales (packed, or
+    # requested via disable_ue8m0_cast=False, the SM100 path) are powers of
+    # two, so folding them into bf16 operands is bit-exact and MXU-bound;
+    # raw f32 scales (SM90 path) use the exact f32 promotion epilogue.
+    use_ue8m0 = (not disable_ue8m0_cast) or sfa.dtype == jnp.int32
+    strategy = 'dequant' if use_ue8m0 else 'promote'
+    sfa_mmaj, sfb_kmaj_like = required_sf_orientation(strategy, a_kmajor, b_kmajor)
+
+    sfa = transform_sfa(sfa, m, k, gran_k_a, a_kmajor, want_m_major=sfa_mmaj)
+    sfb_t = transform_sfb(sfb, n, k, recipe_b, b_kmajor,
+                          want_n_major=sfb_kmaj_like)
+    if use_ue8m0 and sfa.dtype != jnp.int32:
+        sfa = ceil_to_ue8m0(sfa)
+        sfb_t = ceil_to_ue8m0(sfb_t)
 
     return dense_gemm(a_val, b_val, sfa=sfa, sfb_t=sfb_t, c=c,
                       a_kmajor=a_kmajor, b_kmajor=b_kmajor,
                       sf_kind_b='pertoken', gran_k_a=gran_k_a, gran_k_b=gran_k_b,
-                      out_dtype=out_dtype)
+                      out_dtype=out_dtype, scale_strategy=strategy)
 
 
 # ---------------------------------------------------------------------------

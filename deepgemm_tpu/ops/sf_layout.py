@@ -47,21 +47,22 @@ def _maybe_unpack(sf: jnp.ndarray, want_ksf: int, k_last: bool) -> jnp.ndarray:
 
 
 def transform_sfa(sfa: jnp.ndarray, m: int, k: int, gran_k: int,
-                  a_kmajor: bool) -> jnp.ndarray:
-    """Return SFA as f32 ``[m, ceil(k / gran_k)]``."""
+                  a_kmajor: bool, want_m_major: bool = True) -> jnp.ndarray:
+    """Return SFA as f32 ``[m, ksf]`` (want_m_major) or ``[ksf, m]``."""
     ksf = ceil_div(k, gran_k)
     if not a_kmajor:       # operand given as [k, m] -> sf given as [ksf, m]
         sfa = _maybe_unpack(sfa, ksf, k_last=False)
-        sfa = sfa.T
-    else:
-        sfa = _maybe_unpack(sfa, ksf, k_last=True)
+        assert sfa.shape == (ksf, m), f'{sfa.shape} != {(ksf, m)}'
+        return sfa.T if want_m_major else sfa
+    sfa = _maybe_unpack(sfa, ksf, k_last=True)
     assert sfa.shape == (m, ksf), f'{sfa.shape} != {(m, ksf)}'
-    return sfa
+    return sfa if want_m_major else sfa.T
 
 
 def transform_sfb(sfb: jnp.ndarray, n: int, k: int, recipe_b: Tuple[int, int],
-                  b_kmajor: bool) -> jnp.ndarray:
-    """Return SFB k-major-first with per-token rows: ``[ksf, n]``.
+                  b_kmajor: bool, want_n_major: bool = False) -> jnp.ndarray:
+    """Return SFB with per-token granularity along n: ``[ksf, n]`` (default)
+    or ``[n, ksf]`` (want_n_major, for the dequant strategy).
 
     Block-granular SF (gran_mn > 1) is broadcast to rows — the analog of the
     reference's 128x128 -> 1x128 row ``index_select``
@@ -77,7 +78,7 @@ def transform_sfb(sfb: jnp.ndarray, n: int, k: int, recipe_b: Tuple[int, int],
     assert sfb.shape == (ksf, nsf), f'{sfb.shape} != {(ksf, nsf)}'
     if gran_mn > 1:
         sfb = jnp.repeat(sfb, gran_mn, axis=1)[:, :n]
-    return sfb
+    return sfb.T if want_n_major else sfb
 
 
 def transform_sf_into_required_layout(sf: jnp.ndarray, mn: Optional[int] = None,

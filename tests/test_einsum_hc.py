@@ -93,7 +93,8 @@ def test_fp8_gemm_nt_skip_head_mid():
     num_heads = 4
     n = num_heads * (head_splits[0] + head_splits[2])
     a, b, _, ref_d = generate_normal(m, n, k)
-    d = dg.fp8_gemm_nt_skip_head_mid(a, b, head_splits=head_splits)
+    d = dg.fp8_gemm_nt_skip_head_mid(a, b, head_splits=head_splits,
+                                     disable_ue8m0_cast=True)
     left, mid, right = head_splits
     ref3 = np.asarray(ref_d, np.float32).reshape(m, num_heads, left + right)
     expected = np.concatenate(

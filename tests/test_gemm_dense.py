@@ -48,7 +48,9 @@ def test_bf16_gemm_layout_aliases():
 @pytest.mark.parametrize('use_ue8m0', [False, True])
 def test_fp8_gemm_nt(m, n, k, use_ue8m0):
     a, b, c, ref_d = generate_normal(m, n, k, use_ue8m0=use_ue8m0)
-    d = dg.fp8_gemm_nt(a, b)
+    # mirror the reference: disable the UE8M0 cast iff inputs were quantized
+    # without it (/root/reference/tests/test_fp8_fp4.py:42-43)
+    d = dg.fp8_gemm_nt(a, b, disable_ue8m0_cast=not use_ue8m0)
     diff = calc_diff(d, ref_d)
     assert diff < 1e-3, f'{m=}, {n=}, {k=}, {use_ue8m0=}, {diff=}'
 
@@ -63,7 +65,7 @@ def test_fp8_gemm_layout_aliases():
         'tt': ((a[0].T, a[1].T), b),
     }
     for name, args in cases.items():
-        d = getattr(dg, f'fp8_gemm_{name}')(*args)
+        d = getattr(dg, f'fp8_gemm_{name}')(*args, disable_ue8m0_cast=True)
         diff = calc_diff(d, ref_d)
         assert diff < 1e-3, f'{name}: {diff}'
 
@@ -75,7 +77,7 @@ def test_fp8_gemm_wgrad_recipe(out_dtype):
     m, n, k = 128, 256, 384
     a, b, c, ref_d = generate_normal(m, n, k, accumulate=True, out_dtype=out_dtype,
                                      b_pertoken=True)
-    d = dg.fp8_gemm_nt(a, b, d=c, c=c, recipe=(1, 1, 128))
+    d = dg.fp8_gemm_nt(a, b, d=c, c=c, recipe=(1, 1, 128), disable_ue8m0_cast=True)
     diff = calc_diff(d, ref_d)
     assert diff < 1e-3, f'{diff=}'
 

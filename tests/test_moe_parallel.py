@@ -1,0 +1,122 @@
+"""EP MoE tests on the virtual 8-device CPU mesh — the analog of the
+reference's multi-rank MoE test (/root/reference/tests/test_mega_moe.py):
+kernel path vs a local (non-distributed) numpy-style reference, plus
+kernel-vs-XLA path agreement."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+import pytest
+
+import deepgemm_tpu as dg
+from deepgemm_tpu.parallel.dist import make_mesh
+from deepgemm_tpu.parallel.moe import MoEConfig, ep_moe_forward, swiglu_apply_weight
+from deepgemm_tpu.testing import calc_diff
+
+
+def make_moe_inputs(rng, t_total, cfg):
+    h, i2, e = cfg.hidden, 2 * cfg.intermediate, cfg.num_experts
+    x = jnp.asarray(rng.randn(t_total, h), dtype=jnp.bfloat16)
+    logits = rng.randn(t_total, e)
+    topk_idx = jnp.asarray(np.argsort(-logits, axis=1)[:, :cfg.topk].astype(np.int32))
+    topk_w = jnp.asarray(rng.uniform(0.5, 1.5, size=(t_total, cfg.topk)).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(e, i2, h) * 0.05, dtype=jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(e, h, cfg.intermediate) * 0.05, dtype=jnp.bfloat16)
+    return x, topk_idx, topk_w, w1, w2
+
+
+def local_moe_reference(x, topk_idx, topk_w, w1, w2):
+    """Dense per-token reference in f32 numpy."""
+    xf = np.asarray(x, np.float32)
+    w1f, w2f = np.asarray(w1, np.float32), np.asarray(w2, np.float32)
+    t_total, h = xf.shape
+    out = np.zeros((t_total, h), np.float32)
+    inter = w2f.shape[2]
+    for t in range(t_total):
+        for kk in range(topk_idx.shape[1]):
+            e = int(topk_idx[t, kk])
+            gu = w1f[e] @ xf[t]
+            gate, up = gu[:inter], gu[inter:]
+            act = gate / (1 + np.exp(-gate)) * up
+            act = np.clip(act, -256.0, 256.0) * float(topk_w[t, kk])
+            out[t] += w2f[e] @ act.astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize('use_fp8', [False, True])
+def test_ep_moe_forward(use_fp8):
+    mesh = make_mesh([('ep', 8)])
+    cfg = MoEConfig(num_experts=16, hidden=128, intermediate=128, topk=2,
+                    capacity_factor=8.0, use_fp8=use_fp8, use_kernels=True)
+    rng = np.random.RandomState(0)
+    t_total = 64 * 8
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg)
+
+    if use_fp8:
+        def quant_w(w):
+            vals, sfs = [], []
+            for eidx in range(w.shape[0]):
+                v, s = dg.per_block_cast_to_fp8(w[eidx], use_ue8m0=False)
+                vals.append(v); sfs.append(s)
+            return jnp.stack(vals), jnp.stack(sfs)
+        w1_q, w1_sf = quant_w(w1)
+        w2_q, w2_sf = quant_w(w2)
+    else:
+        w1_q, w1_sf, w2_q, w2_sf = w1, None, w2, None
+
+    e_local = cfg.num_experts // 8
+
+    def fwd(x_l, idx_l, w_l, w1_l, w2_l, *sf):
+        w1_sf_l, w2_sf_l = (sf[0], sf[1]) if sf else (None, None)
+        y, dropped = ep_moe_forward(x_l, idx_l, w_l, w1_l, w1_sf_l, w2_l,
+                                    w2_sf_l, cfg)
+        return y, dropped
+
+    in_specs = [P('ep'), P('ep'), P('ep'), P('ep'), P('ep')]
+    args = [x, topk_idx, topk_w, w1_q, w2_q]
+    if use_fp8:
+        in_specs += [P('ep'), P('ep')]
+        args += [w1_sf, w2_sf]
+    y, dropped = shard_map(fwd, mesh=mesh, check_vma=False, in_specs=tuple(in_specs),
+                           out_specs=(P('ep'), P('ep')))(*args)
+    assert int(jnp.sum(dropped)) == 0, 'capacity factor too small for test'
+
+    ref = local_moe_reference(x, topk_idx, topk_w,
+                              w1 if not use_fp8 else _dequant(w1_q, w1_sf),
+                              w2 if not use_fp8 else _dequant(w2_q, w2_sf))
+    tol = 2e-3 if use_fp8 else 1e-4
+    diff = calc_diff(y, ref)
+    assert diff < tol, f'{use_fp8=}, {diff=}'
+
+
+def _dequant(w_q, w_sf):
+    e, n, k = w_q.shape
+    sf_full = np.repeat(np.repeat(np.asarray(w_sf), 128, axis=1)[:, :n],
+                        128, axis=2)[:, :, :k]
+    return np.asarray(w_q).astype(np.float32) * sf_full
+
+
+def test_ep_moe_kernel_vs_xla_paths():
+    """The Pallas-kernel path and the differentiable XLA path agree."""
+    mesh = make_mesh([('ep', 8)])
+    rng = np.random.RandomState(1)
+    base = dict(num_experts=8, hidden=128, intermediate=128, topk=2,
+                capacity_factor=8.0, use_fp8=False)
+    t_total = 32 * 8
+    cfg_k = MoEConfig(**base, use_kernels=True)
+    cfg_x = MoEConfig(**base, use_kernels=False)
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg_k)
+
+    def run(cfg):
+        def fwd(x_l, idx_l, w_l, w1_l, w2_l):
+            return ep_moe_forward(x_l, idx_l, w_l, w1_l, None, w2_l, None, cfg)
+        return shard_map(fwd, mesh=mesh, check_vma=False,
+                         in_specs=(P('ep'), P('ep'), P('ep'), P('ep'), P('ep')),
+                         out_specs=(P('ep'), P('ep')))(
+                             x, topk_idx, topk_w, w1, w2)
+
+    y_k, _ = run(cfg_k)
+    y_x, _ = run(cfg_x)
+    assert calc_diff(y_k, y_x) < 1e-5
