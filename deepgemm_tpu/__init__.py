@@ -75,6 +75,14 @@ from .utils.math import (
     per_token_cast_to_fp4, transpose_packed_fp4, cast_back_from_fp4,
 )
 
+# Mega MoE (overlapped EP pipeline; parity with deep_gemm.mega)
+from .parallel import mega
+from .parallel.mega import (
+    fp8_fp4_mega_moe, bf16_mega_moe,
+    get_symm_buffer_size_for_mega_moe,
+    get_token_alignment_for_mega_moe, get_ring_limit_for_mega_moe,
+)
+
 from . import testing
 from . import utils
 

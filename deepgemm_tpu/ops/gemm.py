@@ -20,7 +20,7 @@ from typing import Optional, Tuple, Union
 import jax.numpy as jnp
 
 from ..kernels.dense import dense_gemm, required_sf_orientation
-from ..utils.math import ceil_div, ceil_to_ue8m0
+from ..utils.math import ceil_div
 from .sf_layout import resolve_recipes, transform_sfa, transform_sfb
 
 
@@ -61,21 +61,29 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
     recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
     gran_k_a, gran_k_b = recipe_a[1], recipe_b[1]
 
-    # Strategy selection mirrors the reference's arch split
-    # (/root/reference/csrc/apis/gemm.hpp:110-123): UE8M0 scales (packed, or
-    # requested via disable_ue8m0_cast=False, the SM100 path) are powers of
-    # two, so folding them into bf16 operands is bit-exact and MXU-bound;
-    # raw f32 scales (SM90 path) use the exact f32 promotion epilogue.
-    use_ue8m0 = (not disable_ue8m0_cast) or sfa.dtype == jnp.int32
-    strategy = 'dequant' if use_ue8m0 else 'promote'
+    # TPU-native scale handling. The canonical SF format is exact f32, the
+    # SM90-style contract: f32 scales are consumed AS-IS
+    # (/root/reference/csrc/apis/layout.hpp — on SM90 no UE8M0 cast happens,
+    # with or without `disable_ue8m0_cast`). The reference only ceil-rounds
+    # f32 scales to UE8M0 on SM100 because that *hardware* requires packed-po2
+    # SF; rounding scales the data was not quantized with inflates each block
+    # by up to 2x, so a software port of that behavior would be a silent
+    # correctness bug — TPU has no such requirement and never rounds.
+    #
+    # Strategy: the fast 'dequant' path folds scales into the bf16 operands,
+    # which is bit-exact only for power-of-two scales — selected when scales
+    # are provably po2 (packed-UE8M0 int32 input, the SM100-style flow).
+    # Otherwise the exact f32 promotion epilogue runs
+    # (impls/sm90_fp8_gemm_1d2d.cuh:332-347 semantics).
+    from ..runtime.config import runtime
+    scales_pow2 = sfa.dtype == jnp.int32 and sfb.dtype == jnp.int32
+    strategy = runtime().force_scale_strategy or \
+        ('dequant' if scales_pow2 else 'promote')
     sfa_mmaj, sfb_kmaj_like = required_sf_orientation(strategy, a_kmajor, b_kmajor)
 
     sfa = transform_sfa(sfa, m, k, gran_k_a, a_kmajor, want_m_major=sfa_mmaj)
     sfb_t = transform_sfb(sfb, n, k, recipe_b, b_kmajor,
                           want_n_major=sfb_kmaj_like)
-    if use_ue8m0 and sfa.dtype != jnp.int32:
-        sfa = ceil_to_ue8m0(sfa)
-        sfb_t = ceil_to_ue8m0(sfb_t)
 
     return dense_gemm(a_val, b_val, sfa=sfa, sfb_t=sfb_t, c=c,
                       a_kmajor=a_kmajor, b_kmajor=b_kmajor,

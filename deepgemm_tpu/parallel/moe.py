@@ -72,6 +72,15 @@ def swiglu_apply_weight_to_fp8(gate_up: jnp.ndarray, row_weights: jnp.ndarray,
     return q.reshape(shape), sf.reshape(*shape[:-1], -1)
 
 
+def moe_capacity(num_tokens: int, topk: int, num_experts: int,
+                 capacity_factor: float) -> int:
+    """Per-(rank, expert) slot capacity — shared by the unfused and mega
+    (fused/overlapped) paths so their dispatch plans are identical (the
+    bitwise fused-vs-unfused contract, /root/reference/tests/test_mega_moe.py:204-215)."""
+    return align(int(ceil_div(num_tokens * topk, num_experts)
+                     * capacity_factor) + 1, 8)
+
+
 def dispatch_indices(topk_idx: jnp.ndarray, num_experts: int, e_local: int,
                      capacity: int):
     """Static-shape dispatch plan: for each (token, k) pair, its destination
@@ -99,7 +108,8 @@ def dispatch_indices(topk_idx: jnp.ndarray, num_experts: int, e_local: int,
 def ep_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
                    topk_weights: jnp.ndarray,
                    w1, w1_sf, w2, w2_sf,
-                   cfg: MoEConfig, axis_name: str = 'ep'):
+                   cfg: MoEConfig, axis_name: str = 'ep',
+                   gemm_cfg1=None, gemm_cfg2=None):
     """Unfused EP MoE forward (inside shard_map over `axis_name`).
 
     x [T, H] bf16; topk_idx [T, K] global expert ids; topk_weights [T, K] f32;
@@ -112,7 +122,7 @@ def ep_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     inter = cfg.intermediate
 
     # per-(rank, expert) capacity, aligned for the grouped kernels
-    cap = align(int(ceil_div(t_count * k, cfg.num_experts) * cfg.capacity_factor) + 1, 8)
+    cap = moe_capacity(t_count, k, cfg.num_experts, cfg.capacity_factor)
     rank, local, slot, kept, num_dropped = dispatch_indices(
         topk_idx, cfg.num_experts, e_local, cap)
 
@@ -136,9 +146,9 @@ def ep_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     a1 = recv_x.transpose(1, 0, 2, 3).reshape(e_local, rows, hidden)
     row_w = recv_w.transpose(1, 0, 2).reshape(e_local, rows)
 
-    gate_up = _expert_gemm(a1, w1, w1_sf, cfg)                 # [E_local, rows, 2I]
+    gate_up = _expert_gemm(a1, w1, w1_sf, cfg, gemm_cfg=gemm_cfg1)   # [E_local, rows, 2I]
     act_bf16 = swiglu_apply_weight(gate_up, row_w).astype(jnp.bfloat16)
-    y_exp = _expert_gemm(act_bf16, w2, w2_sf, cfg)             # [E_local, rows, H]
+    y_exp = _expert_gemm(act_bf16, w2, w2_sf, cfg, gemm_cfg=gemm_cfg2)  # [E_local, rows, H]
 
     # Combine: reverse all-to-all, then weighted scatter-add by source pair.
     back = y_exp.reshape(e_local, ep, cap, hidden).transpose(1, 0, 2, 3)
@@ -150,17 +160,22 @@ def ep_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     return out.astype(jnp.bfloat16), num_dropped.reshape(1)
 
 
-def _expert_gemm(a_bf16: jnp.ndarray, w, w_sf, cfg: MoEConfig) -> jnp.ndarray:
+def _expert_gemm(a_bf16: jnp.ndarray, w, w_sf, cfg: MoEConfig,
+                 gemm_cfg=None) -> jnp.ndarray:
     """Per-expert GEMM [E, R, K] @ [E, N, K]^T -> [E, R, N] (bf16 out).
 
     FP8 path: per-token quantize activations, then the batched Pallas scaled
-    kernel. XLA path (differentiable): dequantized einsum.
+    kernel. XLA path (differentiable): dequantized einsum. An explicit
+    ``gemm_cfg`` pins the tile config (k-reduction order), which makes results
+    bitwise-stable across different row counts — required by the fused
+    (mega) vs unfused bitwise contract.
     """
     e_local, rows, k_dim = a_bf16.shape
     if w_sf is None:
         if cfg.use_kernels:
             full = jnp.full((e_local,), rows, dtype=jnp.int32)
-            return m_grouped_gemm_masked(a_bf16, w, full, out_dtype=jnp.bfloat16)
+            return m_grouped_gemm_masked(a_bf16, w, full, out_dtype=jnp.bfloat16,
+                                         cfg=gemm_cfg)
         return jnp.einsum('erk,enk->ern', a_bf16.astype(jnp.float32),
                           w.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -173,7 +188,7 @@ def _expert_gemm(a_bf16: jnp.ndarray, w, w_sf, cfg: MoEConfig) -> jnp.ndarray:
                                (128, 128), b_kmajor=True)
         full = jnp.full((e_local,), rows, dtype=jnp.int32)
         return m_grouped_gemm_masked(aq, w, full, sfa=asf, sfb_t=sfb_t,
-                                     out_dtype=jnp.bfloat16)
+                                     out_dtype=jnp.bfloat16, cfg=gemm_cfg)
     # Differentiable reference path: dequantize weights, einsum
     n_dim = w.shape[1]
     sf_full = jnp.repeat(jnp.repeat(w_sf, 128, axis=1)[:, :n_dim],

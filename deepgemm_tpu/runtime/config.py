@@ -41,6 +41,9 @@ class _Runtime:
         self.ignore_compile_dims: bool = get_bool_env('DGT_IGNORE_COMPILE_DIMS')
         # Debug printing of chosen kernel configs (analog of DG_PRINT_CONFIGS)
         self.print_configs: bool = get_bool_env('DGT_PRINT_CONFIGS')
+        # Force the FP8 scale-application strategy ('promote' | 'dequant');
+        # default None = auto (dequant only for provably power-of-two scales).
+        self.force_scale_strategy: Optional[str] = get_env('DGT_SCALE_STRATEGY', None)
         self._printed_specs = set()
 
     @property

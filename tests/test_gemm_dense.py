@@ -96,6 +96,26 @@ def test_fp8_gemm_packed_ue8m0_sf():
     assert calc_diff(d, ref_d) < 1e-3
 
 
+def test_fp8_gemm_exact_f32_scales_default_flags():
+    """REGRESSION (found on real TPU): non-power-of-two f32 scales with
+    DEFAULT kwargs must be applied exactly — the SM90-style contract
+    (/root/reference/csrc/apis/layout.hpp f32 rows). The old behavior
+    ceil-rounded scales to UE8M0 (an SM100 *hardware* requirement) while the
+    data was quantized with the unrounded scales, inflating every block by up
+    to 2x (observed calc_diff 0.27)."""
+    m, n, k = 128, 256, 512
+    a, b, _, ref_d = generate_normal(m, n, k, use_ue8m0=False)
+    dg.kernel_cache().clear()   # isolate this call's spec
+    d = dg.fp8_gemm_nt(a, b)                      # default flags
+    assert calc_diff(d, ref_d) < 1e-3
+    # and the ops layer must route these to the exact 'promote' strategy
+    from deepgemm_tpu.kernels.dense import DenseGemmSpec
+    specs = [s for s in dg.kernel_cache()._cache
+             if isinstance(s, DenseGemmSpec) and s.is_scaled
+             and (s.m, s.n, s.k) == (m, n, k)]
+    assert specs and all(s.cfg.scale_strategy == 'promote' for s in specs)
+
+
 def test_gemm_early_return():
     """k == 0 early-return semantics (/root/reference/csrc/apis/gemm.hpp:19-46)."""
     a = jnp.zeros((16, 0), jnp.bfloat16)

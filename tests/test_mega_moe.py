@@ -1,0 +1,131 @@
+"""Mega MoE (overlapped pipeline) tests on the virtual 8-device CPU mesh.
+
+The analog of the reference's fused-vs-unfused multi-rank test
+(/root/reference/tests/test_mega_moe.py:204-215): the overlapped mega path
+must be BITWISE-equal to the unfused EP baseline when driven with the same
+GEMM tile configs, for both BF16 and FP8 weights.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+import pytest
+
+import deepgemm_tpu as dg
+from deepgemm_tpu.heuristics.configs import get_gemm_config
+from deepgemm_tpu.parallel.dist import make_mesh
+from deepgemm_tpu.parallel.moe import MoEConfig, ep_moe_forward
+from deepgemm_tpu.parallel.mega import (
+    mega_moe_forward, transform_weights_for_mega_moe, SymmBuffer,
+    get_symm_buffer_size_for_mega_moe, get_token_alignment_for_mega_moe,
+    get_ring_limit_for_mega_moe)
+from deepgemm_tpu.testing import assert_bitwise_equal, calc_diff
+
+from test_moe_parallel import make_moe_inputs, local_moe_reference, _dequant
+
+
+def _quant_w(w):
+    vals, sfs = [], []
+    for eidx in range(w.shape[0]):
+        v, s = dg.per_block_cast_to_fp8(w[eidx], use_ue8m0=False)
+        vals.append(v); sfs.append(s)
+    return jnp.stack(vals), jnp.stack(sfs)
+
+
+@pytest.mark.parametrize('use_fp8', [False, True])
+@pytest.mark.parametrize('num_chunks', [1, 3, 4])
+def test_mega_vs_unfused_bitwise(use_fp8, num_chunks):
+    mesh = make_mesh([('ep', 8)])
+    cfg = MoEConfig(num_experts=16, hidden=128, intermediate=128, topk=2,
+                    capacity_factor=8.0, use_fp8=use_fp8, use_kernels=True)
+    rng = np.random.RandomState(2)
+    t_total = 64 * 8
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg)
+
+    if use_fp8:
+        w1_q, w1_sf = _quant_w(w1)
+        w2_q, w2_sf = _quant_w(w2)
+    else:
+        w1_q, w1_sf, w2_q, w2_sf = w1, None, w2, None
+
+    # Pin both paths to the same GEMM tile configs (identical k-reduction
+    # order => row-bitwise-stable results across different chunk row counts).
+    a_dt = jnp.float8_e4m3fn if use_fp8 else jnp.bfloat16
+    gcfg1 = get_gemm_config(64, 2 * cfg.intermediate, cfg.hidden,
+                            a_dt, w1_q.dtype, jnp.bfloat16,
+                            num_groups=2, is_grouped_m=True, mk_alignment=64,
+                            scale_strategy='promote' if use_fp8 else None)
+    gcfg2 = get_gemm_config(64, cfg.hidden, cfg.intermediate,
+                            a_dt, w2_q.dtype, jnp.bfloat16,
+                            num_groups=2, is_grouped_m=True, mk_alignment=64,
+                            scale_strategy='promote' if use_fp8 else None)
+
+    def run(fused):
+        def fwd(x_l, idx_l, w_l, w1_l, w2_l, *sf):
+            sf1, sf2 = (sf[0], sf[1]) if sf else (None, None)
+            fn = mega_moe_forward if fused else ep_moe_forward
+            kw = dict(gemm_cfg1=gcfg1, gemm_cfg2=gcfg2)
+            if fused:
+                kw['num_chunks'] = num_chunks
+            return fn(x_l, idx_l, w_l, w1_l, sf1, w2_l, sf2, cfg, **kw)
+
+        in_specs = [P('ep')] * 5 + ([P('ep')] * 2 if use_fp8 else [])
+        args = [x, topk_idx, topk_w, w1_q, w2_q] + \
+            ([w1_sf, w2_sf] if use_fp8 else [])
+        return shard_map(fwd, mesh=mesh, check_vma=False,
+                         in_specs=tuple(in_specs),
+                         out_specs=(P('ep'), P('ep')))(*args)
+
+    y_unfused, d_unfused = run(fused=False)
+    y_mega, d_mega = run(fused=True)
+
+    assert int(jnp.sum(d_unfused)) == 0
+    assert_bitwise_equal(y_mega, y_unfused)
+    assert_bitwise_equal(d_mega, d_unfused)
+
+    # and both match the dense local reference
+    ref = local_moe_reference(
+        x, topk_idx, topk_w,
+        w1 if not use_fp8 else _dequant(w1_q, w1_sf),
+        w2 if not use_fp8 else _dequant(w2_q, w2_sf))
+    assert calc_diff(y_mega, ref) < (2e-3 if use_fp8 else 1e-4)
+
+
+def test_transform_weights_roundtrip():
+    rng = np.random.RandomState(3)
+    e, inter, h, g = 2, 256, 64, 8
+    gate = jnp.asarray(rng.randn(e, inter, h), jnp.bfloat16)
+    up = jnp.asarray(rng.randn(e, inter, h), jnp.bfloat16)
+    # build g-granular interleaved layout [gate g rows, up g rows, ...]
+    inter_leaved = jnp.stack([gate.reshape(e, inter // g, g, h),
+                              up.reshape(e, inter // g, g, h)], axis=2) \
+        .reshape(e, 2 * inter, h)
+    w_canon, _ = transform_weights_for_mega_moe(inter_leaved,
+                                                gate_up_interleave=g)
+    expect = jnp.concatenate([gate, up], axis=1)
+    assert_bitwise_equal(w_canon, expect)
+    # identity passthrough
+    w_id, _ = transform_weights_for_mega_moe(expect, gate_up_interleave=None)
+    assert w_id is expect
+
+
+def test_symm_buffer_sizing():
+    size, slices = get_symm_buffer_size_for_mega_moe(
+        num_ranks=8, num_experts=64, hidden=1024, intermediate=512,
+        num_max_tokens_per_rank=512, topk=4, use_fp8=True)
+    assert size > 0
+    # slices are contiguous and cover [0, size)
+    prev = 0
+    for name, (lo, hi) in slices.items():
+        assert lo == prev and hi > lo, name
+        prev = hi
+    assert prev == size
+
+    buf = SymmBuffer(num_ranks=8, num_experts=64, hidden=1024,
+                     intermediate=512, num_max_tokens_per_rank=512, topk=4)
+    assert buf.rendezvous() is buf
+    assert buf.size == size
+    assert get_token_alignment_for_mega_moe() >= 1
+    assert get_ring_limit_for_mega_moe(8, 128) == 128 * 2 * 8
