@@ -75,6 +75,12 @@ from .utils.math import (
     per_token_cast_to_fp4, transpose_packed_fp4, cast_back_from_fp4,
 )
 
+# Legacy pure-XLA fallback tier (parity with deep_gemm.legacy)
+from . import legacy
+from .legacy import (
+    m_grouped_bf16_gemm_nt_contiguous_tl, m_grouped_bf16_gemm_nn_contiguous_tl,
+)
+
 # Mega MoE (overlapped EP pipeline; parity with deep_gemm.mega)
 from .parallel import mega
 from .parallel.mega import (

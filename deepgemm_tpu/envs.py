@@ -1,0 +1,39 @@
+"""Environment-variable catalog — the analog of the reference's ``DG_*`` env
+tier (/root/reference/README.md:159-185, csrc/utils/system.hpp:17-33, with
+install-time defaults baked by setup.py:140-147).
+
+All variables are read lazily at first use by runtime/config.py and
+runtime/native.py; this module documents them and provides the same
+"baked defaults" hook the reference wheel has.
+
+| Variable | Meaning | Reference analog |
+|---|---|---|
+| ``DGT_JIT_CACHE_DIR``     | JAX persistent compilation cache dir        | ``DG_JIT_CACHE_DIR`` |
+| ``DGT_NATIVE_CACHE_DIR``  | native helper-library build cache dir       | (jit cache) |
+| ``DGT_CXX``               | host C++ compiler for the native runtime    | ``DG_JIT_NVCC_COMPILER`` |
+| ``DGT_DISABLE_NATIVE``    | 1 = never build/load the C++ helpers        | ``DG_JIT_USE_NVRTC`` (tier switch) |
+| ``DGT_NUM_CORES``         | override the core/device budget             | ``DG_NUM_SMS`` / set_num_sms |
+| ``DGT_MK_ALIGNMENT``      | contiguous-layout group start alignment     | mk_alignment_for_contiguous_layout |
+| ``DGT_IGNORE_COMPILE_DIMS`` | drop static-dim specialization hints      | ``DG_JIT_IGNORE_COMPILE_DIMS`` |
+| ``DGT_PRINT_CONFIGS``     | print chosen kernel configs once per spec   | ``DG_PRINT_CONFIGS`` |
+| ``DGT_SCALE_STRATEGY``    | force 'promote' / 'dequant' FP8 scaling     | (recipe/arch dispatch) |
+| ``DGT_TEST_PLATFORM``     | tests: 'cpu' (virtual mesh) or 'tpu'        | (CI matrix) |
+"""
+
+import os
+
+# Install-time defaults may be baked here by setup.py (parity with the
+# reference's generated deep_gemm/envs.py). Empty by default.
+_BAKED_DEFAULTS = {}
+
+for _k, _v in _BAKED_DEFAULTS.items():
+    os.environ.setdefault(_k, _v)
+
+
+def describe() -> dict:
+    """Current values of every DGT_* variable (None = unset)."""
+    names = ['DGT_JIT_CACHE_DIR', 'DGT_NATIVE_CACHE_DIR', 'DGT_CXX',
+             'DGT_DISABLE_NATIVE', 'DGT_NUM_CORES', 'DGT_MK_ALIGNMENT',
+             'DGT_IGNORE_COMPILE_DIMS', 'DGT_PRINT_CONFIGS',
+             'DGT_SCALE_STRATEGY', 'DGT_TEST_PLATFORM']
+    return {n: os.environ.get(n) for n in names}

@@ -18,29 +18,35 @@ def k_slice(blk, kmajor: bool, start: int, size: int):
     return blk[:, start:start + size] if kmajor else blk[start:start + size, :]
 
 
-def onehot_cols(sf_blk, nsf: int, nsub: int, first):
-    """Select `nsub` consecutive SF columns starting at dynamic index `first`
-    from sf_blk [bm, nsf] -> (bm, nsub), via a one-hot matmul (Mosaic forbids
-    dynamic lane-dim slicing unless 128-aligned). Out-of-range selections
-    yield 0 — which implements k-tail masking for free."""
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (nsf, nsub), 0) ==
-           first + jax.lax.broadcasted_iota(jnp.int32, (nsf, nsub), 1)
-           ).astype(jnp.float32)
-    return jnp.dot(sf_blk, sel, preferred_element_type=jnp.float32)
-
-
-def onehot_rows(sf_blk, nsf: int, nsub: int, first):
-    """Select `nsub` consecutive SF rows starting at dynamic index `first`
-    from sf_blk [nsf, bn] -> (nsub, bn)."""
-    sel = (jax.lax.broadcasted_iota(jnp.int32, (nsf, nsub), 0) ==
-           first + jax.lax.broadcasted_iota(jnp.int32, (nsf, nsub), 1)
-           ).astype(jnp.float32)
-    return jax.lax.dot_general(
-        sel, sf_blk, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
 def mask_k_tail(blk, kmajor: bool, k_base, k_total: int):
     """Zero out-of-range k entries in a (padded) final k block."""
     ids = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1 if kmajor else 0)
     return jnp.where(k_base + ids < k_total, blk, jnp.zeros_like(blk))
+
+
+def promote_block(spec, bk: int, k: int, a_blk, b_blk, sfa_blk, sfb_blk):
+    """One k-step of the exact FP8 promotion epilogue:
+
+        total = sum_s (a_s @ b_s^T) * sfb[s] (row) * sfa[s] (col)
+
+    over the scale-granularity sub-blocks ``s`` of this ``bk``-deep block —
+    reference semantics ``final += (sfa*sfb) * accum`` per 128-wide chunk
+    (/root/reference/deep_gemm/include/deep_gemm/impls/sm90_fp8_gemm_1d2d.cuh:332-347).
+
+    ``sfa_blk`` is this k-step's [bm, nsub_a] slice and ``sfb_blk`` its
+    [nsub_b, bn] slice, delivered pre-sliced by the BlockSpec index maps
+    (exact f32 — no MXU round-trip). FP8 operands feed the MXU directly.
+    Sub-block partials accumulate in registers; the caller does ONE
+    ``acc_ref[:] +=`` so the f32 accumulator is touched once per k-step.
+    """
+    gka, gkb = spec.gran_k_a, spec.gran_k_b
+    gsub = min(gka, gkb)
+    total = None
+    for s in range(bk // gsub):
+        a_s = k_slice(a_blk, getattr(spec, 'a_kmajor', True), s * gsub, gsub)
+        b_s = k_slice(b_blk, spec.b_kmajor, s * gsub, gsub)
+        p = dot_mn(a_s, b_s, getattr(spec, 'a_kmajor', True), spec.b_kmajor)
+        sa, sb = s * gsub // gka, s * gsub // gkb
+        term = (p * sfb_blk[sb:sb + 1, :]) * sfa_blk[:, sa:sa + 1]
+        total = term if total is None else total + term
+    return total

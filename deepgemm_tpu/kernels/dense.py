@@ -41,8 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..heuristics.configs import GemmConfig, get_gemm_config
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend
-from ..utils.math import ceil_div
-from .common import dot_mn, k_slice, onehot_cols, onehot_rows, mask_k_tail
+from ..utils.math import align, ceil_div
+from .common import dot_mn, k_slice, mask_k_tail, promote_block
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,31 +64,61 @@ class DenseGemmSpec:
     cfg: GemmConfig
 
 
-def _sf_spec(kmajor_like_operand: bool, n_sf: int, bdim: int, idx_pos: int):
-    """BlockSpec for an SF tensor: [dim, n_sf] blocked (bdim, n_sf) when the
-    operand is k-major, else [n_sf, dim] blocked (n_sf, bdim)."""
+def _sf_spec(kmajor_like_operand: bool, nsub: int, bdim: int, idx_pos: int):
+    """BlockSpec delivering this k-step's SF slice from a *stepped* SF array
+    (see :func:`sf_to_stepped`): the array is [gk, dim, nsub] (operand
+    k-major) or [gk, nsub, dim]; the leading dim indexes the grid k-step, so
+    the kernel sees an exact f32 [bdim, nsub] / [nsub, bdim] block — the
+    Pallas analog of the reference kernels' per-stage SF smem loads
+    (sm90_fp8_gemm_1d2d.cuh:175-206) — while the block's minor dims stay
+    whole (the Mosaic lane/sublane divisibility rule)."""
     if kmajor_like_operand:
         if idx_pos == 0:
-            return pl.BlockSpec((bdim, n_sf), lambda i, j, s: (i, 0),
+            return pl.BlockSpec((1, bdim, nsub), lambda i, j, s: (s, i, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((bdim, n_sf), lambda i, j, s: (j, 0),
+        return pl.BlockSpec((1, bdim, nsub), lambda i, j, s: (s, j, 0),
                             memory_space=pltpu.VMEM)
     if idx_pos == 0:
-        return pl.BlockSpec((n_sf, bdim), lambda i, j, s: (0, i),
+        return pl.BlockSpec((1, nsub, bdim), lambda i, j, s: (s, 0, i),
                             memory_space=pltpu.VMEM)
-    return pl.BlockSpec((n_sf, bdim), lambda i, j, s: (0, j),
+    return pl.BlockSpec((1, nsub, bdim), lambda i, j, s: (s, 0, j),
                         memory_space=pltpu.VMEM)
 
 
-def _select_and_expand(sf_blk, operand_kmajor: bool, n_sf: int, nsub: int,
-                       first, gran: int, bk: int):
-    """Pick this k-step's scale entries and expand to the operand block's
-    shape: (bdim, bk) for a k-major operand, (bk, bdim) otherwise."""
+def pad_sf_k(sf: jnp.ndarray, n_sf_padded: int, k_last: bool) -> jnp.ndarray:
+    """Pad an SF tensor's k (scale-block) dim to `n_sf_padded` with 1.0 so
+    every grid k-step maps to a whole in-bounds SF block."""
+    axis = sf.ndim - 1 if k_last else sf.ndim - 2
+    pad = n_sf_padded - sf.shape[axis]
+    if pad <= 0:
+        return sf
+    widths = [(0, 0)] * sf.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(sf, widths, constant_values=1.0)
+
+
+def sf_to_stepped(sf: jnp.ndarray, gk: int, nsub: int,
+                  k_last: bool) -> jnp.ndarray:
+    """Reshape a (k-padded) SF tensor so the grid k-step is the LEADING dim:
+
+      k_last:  [.., dim, gk*nsub] -> [gk, .., dim, nsub]
+      else:    [.., gk*nsub, dim] -> [gk, .., nsub, dim]
+
+    This keeps the per-step block's minor dims equal to the array's (Mosaic
+    requires minor block dims divisible by the tile or whole)."""
+    if k_last:
+        r = sf.reshape(*sf.shape[:-1], gk, nsub)
+        return jnp.moveaxis(r, -2, 0)
+    r = sf.reshape(*sf.shape[:-2], gk, nsub, sf.shape[-1])
+    return jnp.moveaxis(r, -3, 0)
+
+
+def _expand_sf(sf_blk, operand_kmajor: bool, gran: int):
+    """Expand a per-k-step SF block to the operand block's shape:
+    (bdim, nsub) -> (bdim, bk) for a k-major operand, else transposed."""
     if operand_kmajor:
-        sel = onehot_cols(sf_blk, n_sf, nsub, first)      # (bdim, nsub)
-        return jnp.repeat(sel, gran, axis=1)              # (bdim, bk)
-    sel = onehot_rows(sf_blk, n_sf, nsub, first)          # (nsub, bdim)
-    return jnp.repeat(sel, gran, axis=0)                  # (bk, bdim)
+        return jnp.repeat(sf_blk, gran, axis=1)
+    return jnp.repeat(sf_blk, gran, axis=0)
 
 
 def _build_dense_gemm(spec: DenseGemmSpec):
@@ -113,15 +143,13 @@ def _build_dense_gemm(spec: DenseGemmSpec):
               pl.BlockSpec((bk, bn), lambda i, j, s: (s, j), memory_space=pltpu.VMEM))
     in_specs = [a_spec, b_spec]
 
+    nsub_a, nsub_b = bk // gka, bk // gkb
     if is_scaled:
-        # SF blocks keep the k (scale) dim whole; the kernel selects this
-        # k-step's entries with one-hot matmuls (Mosaic forbids unaligned
-        # dynamic lane slicing). Out-of-range selections are 0, which also
-        # implements the k-tail for free.
+        # Per-k-step SF blocks via index maps (see _sf_spec).
         sfa_kmaj = spec.a_kmajor if dequant else True
         sfb_kmaj = spec.b_kmajor if dequant else False
-        in_specs.append(_sf_spec(sfa_kmaj, n_sf_a, bm, idx_pos=0))
-        in_specs.append(_sf_spec(sfb_kmaj, n_sf_b, bn, idx_pos=1))
+        in_specs.append(_sf_spec(sfa_kmaj, nsub_a, bm, idx_pos=0))
+        in_specs.append(_sf_spec(sfb_kmaj, nsub_b, bn, idx_pos=1))
 
     if spec.accumulate:
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
@@ -154,34 +182,21 @@ def _build_dense_gemm(spec: DenseGemmSpec):
             a_blk = mask_k_tail(a_blk, spec.a_kmajor, ki * bk, k)
             b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
 
-        nsub_a, nsub_b = bk // gka, bk // gkb
         if not is_scaled:
             acc_ref[:] += dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor)
         elif dequant:
-            sfa_exp = _select_and_expand(sfa_ref[:], spec.a_kmajor, n_sf_a,
-                                         nsub_a, ki * nsub_a, gka, bk)
-            sfb_exp = _select_and_expand(sfb_ref[:], spec.b_kmajor, n_sf_b,
-                                         nsub_b, ki * nsub_b, gkb, bk)
+            sfa_exp = _expand_sf(sfa_ref[0], spec.a_kmajor, gka)
+            sfb_exp = _expand_sf(sfb_ref[0], spec.b_kmajor, gkb)
             a_s = a_blk.astype(jnp.bfloat16) * sfa_exp.astype(jnp.bfloat16)
             b_s = b_blk.astype(jnp.bfloat16) * sfb_exp.astype(jnp.bfloat16)
             acc_ref[:] += dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
         else:
-            # Promotion loop over scale-granularity sub-blocks
-            # (reference: sm90_fp8_gemm_1d2d.cuh:332-347). FP8 operands feed
-            # the MXU directly (Mosaic handles e4m3 natively; bit-identical
-            # to an explicit bf16 upcast and ~4x faster on v5e).
-            gsub = min(gka, gkb)
-            sfa_sel = onehot_cols(sfa_ref[:], n_sf_a, nsub_a, ki * nsub_a)  # (bm, nsub_a)
-            sfb_sel = onehot_rows(sfb_ref[:], n_sf_b, nsub_b, ki * nsub_b)  # (nsub_b, bn)
-            for s in range(bk // gsub):
-                a_s = k_slice(a_blk, spec.a_kmajor, s * gsub, gsub)
-                b_s = k_slice(b_blk, spec.b_kmajor, s * gsub, gsub)
-                p = dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
-                sa = s * gsub // gka
-                sb = s * gsub // gkb
-                # two broadcast multiplies (row, then column FMA) instead of
-                # materializing the outer-product scale matrix
-                acc_ref[:] += (p * sfb_sel[sb:sb + 1, :]) * sfa_sel[:, sa:sa + 1]
+            # Exact promotion over scale-granularity sub-blocks (reference:
+            # sm90_fp8_gemm_1d2d.cuh:332-347). FP8 operands feed the MXU
+            # directly (bit-identical to a bf16 upcast, ~2x faster on this
+            # TPU gen); SF slices arrive exact through the BlockSpecs.
+            acc_ref[:] += promote_block(spec, bk, k, a_blk, b_blk,
+                                        sfa_ref[0], sfb_ref[0])
 
         @pl.when(ki == gk - 1)
         def _():
@@ -251,6 +266,16 @@ def dense_gemm(a: jnp.ndarray, b: jnp.ndarray,
 
     args = [a, b]
     if is_scaled:
+        # pad the SF k dims to whole blocks, then lift the grid k-step into
+        # the leading dim (Mosaic-friendly per-step SF delivery)
+        gk = ceil_div(k, cfg.block_k)
+        nsub_a, nsub_b = cfg.block_k // gran_k_a, cfg.block_k // gran_k_b
+        sfa_kl, sfb_kl = required_sf_orientation(cfg.scale_strategy,
+                                                 a_kmajor, b_kmajor)
+        sfa = sf_to_stepped(pad_sf_k(sfa, gk * nsub_a, k_last=sfa_kl),
+                            gk, nsub_a, k_last=sfa_kl)
+        sfb_t = sf_to_stepped(pad_sf_k(sfb_t, gk * nsub_b, k_last=sfb_kl),
+                              gk, nsub_b, k_last=sfb_kl)
         args += [sfa, sfb_t]
     if c is not None:
         args.append(c)

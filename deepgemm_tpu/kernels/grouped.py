@@ -29,7 +29,8 @@ from ..heuristics.configs import GemmConfig, get_gemm_config
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend, runtime
 from ..utils.math import align, ceil_div
-from .common import dot_mn, k_slice, onehot_cols, onehot_rows, mask_k_tail
+from .common import dot_mn, k_slice, mask_k_tail, promote_block
+from .dense import pad_sf_k, sf_to_stepped
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,23 +49,6 @@ class GroupedGemmSpec:
     gran_k_b: int
     zero_padded_rows: bool   # epilogue zeroing of group-padding rows
     cfg: GemmConfig
-
-
-def _scaled_promotion(spec, ki, bk, k, a_blk, b_blk, sfa_blk, sfb_blk, acc_ref):
-    gka, gkb = spec.gran_k_a, spec.gran_k_b
-    n_sf_a, n_sf_b = ceil_div(k, gka), ceil_div(k, gkb)
-    # FP8 operands feed the MXU directly (bit-identical to a bf16 upcast,
-    # ~4x faster on v5e)
-    gsub = min(gka, gkb)
-    nsub_a, nsub_b = bk // gka, bk // gkb
-    sfa_sel = onehot_cols(sfa_blk, n_sf_a, nsub_a, ki * nsub_a)
-    sfb_sel = onehot_rows(sfb_blk, n_sf_b, nsub_b, ki * nsub_b)
-    for s in range(bk // gsub):
-        a_s = k_slice(a_blk, True, s * gsub, gsub)
-        b_s = k_slice(b_blk, spec.b_kmajor, s * gsub, gsub)
-        p = dot_mn(a_s, b_s, True, spec.b_kmajor)
-        sa, sb = s * gsub // gka, s * gsub // gkb
-        acc_ref[:] += (p * sfb_sel[sb:sb + 1, :]) * sfa_sel[:, sa:sa + 1]
 
 
 def _build_contiguous(spec: GroupedGemmSpec):
@@ -87,11 +71,15 @@ def _build_contiguous(spec: GroupedGemmSpec):
          pl.BlockSpec((1, bk, bn), lambda i, j, s, gids, ends: (gids[i], s, j),
                       memory_space=pltpu.VMEM)),
     ]
+    nsub_a, nsub_b = bk // spec.gran_k_a, bk // spec.gran_k_b
     if spec.is_scaled:
-        in_specs.append(pl.BlockSpec((bm, n_sf_a), lambda i, j, s, gids, ends: (i, 0),
+        # per-k-step SF slices from stepped SF arrays (exact f32; see
+        # dense.sf_to_stepped): sfa [gk, m, nsub_a], sfb [gk, G, nsub_b, n]
+        in_specs.append(pl.BlockSpec((1, bm, nsub_a),
+                                     lambda i, j, s, gids, ends: (s, i, 0),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, n_sf_b, bn),
-                                     lambda i, j, s, gids, ends: (gids[i], 0, j),
+        in_specs.append(pl.BlockSpec((1, 1, nsub_b, bn),
+                                     lambda i, j, s, gids, ends: (s, gids[i], 0, j),
                                      memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((bm, bn), lambda i, j, s, gids, ends: (i, j),
                             memory_space=pltpu.VMEM)
@@ -114,8 +102,8 @@ def _build_contiguous(spec: GroupedGemmSpec):
             b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
 
         if spec.is_scaled:
-            _scaled_promotion(spec, ki, bk, k, a_blk, b_blk,
-                              refs[2][:], refs[3][0], acc_ref)
+            acc_ref[:] += promote_block(spec, bk, k, a_blk, b_blk,
+                                        refs[2][0], refs[3][0, 0])
         else:
             acc_ref[:] += dot_mn(a_blk, b_blk, True, spec.b_kmajor)
 
@@ -165,12 +153,14 @@ def _build_masked(spec: GroupedGemmSpec):
         pl.BlockSpec((1, bn, bk), lambda e, i, j, s, mref: (e, j, s),
                      memory_space=pltpu.VMEM),
     ]
+    nsub_a, nsub_b = bk // spec.gran_k_a, bk // spec.gran_k_b
     if spec.is_scaled:
-        in_specs.append(pl.BlockSpec((1, bm, n_sf_a),
-                                     lambda e, i, j, s, mref: (e, i, 0),
+        # stepped SFs: sfa [gk, G, max_m, nsub_a], sfb [gk, G, nsub_b, n]
+        in_specs.append(pl.BlockSpec((1, 1, bm, nsub_a),
+                                     lambda e, i, j, s, mref: (s, e, i, 0),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, n_sf_b, bn),
-                                     lambda e, i, j, s, mref: (e, 0, j),
+        in_specs.append(pl.BlockSpec((1, 1, nsub_b, bn),
+                                     lambda e, i, j, s, mref: (s, e, 0, j),
                                      memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, bm, bn), lambda e, i, j, s, mref: (e, i, j),
                             memory_space=pltpu.VMEM)
@@ -201,8 +191,8 @@ def _build_masked(spec: GroupedGemmSpec):
                 b_blk = mask_k_tail(b_blk, True, ki * bk, k)
 
             if spec.is_scaled:
-                _scaled_promotion(spec, ki, bk, k, a_blk, b_blk,
-                                  refs[2][0], refs[3][0], acc_ref)
+                acc_ref[:] += promote_block(spec, bk, k, a_blk, b_blk,
+                                            refs[2][0, 0], refs[3][0, 0])
             else:
                 acc_ref[:] += dot_mn(a_blk, b_blk, True, True)
 
@@ -280,6 +270,12 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
                                        cfg.block_m, use_psum_layout)
     args = [gids, row_ends, a, b]
     if is_scaled:
+        gk = ceil_div(k, cfg.block_k)
+        nsub_a, nsub_b = cfg.block_k // gran_k_a, cfg.block_k // gran_k_b
+        sfa = sf_to_stepped(pad_sf_k(sfa, gk * nsub_a, k_last=True),
+                            gk, nsub_a, k_last=True)
+        sfb_t = sf_to_stepped(pad_sf_k(sfb_t, gk * nsub_b, k_last=False),
+                              gk, nsub_b, k_last=False)
         args += [sfa, sfb_t]
     return fn(*args)
 
@@ -308,5 +304,11 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
 
     args = [masked_m.astype(jnp.int32), a, b]
     if is_scaled:
+        gk = ceil_div(k, cfg.block_k)
+        nsub_a, nsub_b = cfg.block_k // gran_k_a, cfg.block_k // gran_k_b
+        sfa = sf_to_stepped(pad_sf_k(sfa, gk * nsub_a, k_last=True),
+                            gk, nsub_a, k_last=True)
+        sfb_t = sf_to_stepped(pad_sf_k(sfb_t, gk * nsub_b, k_last=False),
+                              gk, nsub_b, k_last=False)
         args += [sfa, sfb_t]
     return fn(*args)

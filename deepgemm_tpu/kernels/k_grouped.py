@@ -12,9 +12,10 @@ row bases) computed on device in a few jnp ops — group boundaries never touch
 the host, so the kernel stays graph-safe for dynamic ``ks`` tensors.
 
 Layout contract (TN): ``a`` is [total_k, m], ``b`` is [total_k, n] (both
-MN-major); per-channel SFs are compacted per group
-(/root/reference/tests/generators.py:411-433): ``sfa_t`` [m, nsf_total]
-(m-major, transposed by the API layer), ``sfb_t`` [nsf_total, n].
+MN-major); per-channel SFs are compacted per group and K-FIRST
+(/root/reference/tests/generators.py:411-433): ``sfa_t`` [nsf_total, m],
+``sfb_t`` [nsf_total, n] — so the kernel's runtime SF-row reads are dynamic
+sublane slices (exact f32).
 """
 
 import dataclasses
@@ -29,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend, runtime
 from ..utils.math import align, ceil_div
-from .common import dot_mn, onehot_cols, onehot_rows
+from .common import dot_mn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,7 +66,10 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                      memory_space=pltpu.VMEM),
     ]
     if spec.is_scaled:
-        in_specs.append(pl.BlockSpec((bm, nsf), lambda i, j, s, *pf: (i, 0),
+        # SFs are k-first ([nsf, m] / [nsf, n]) so the kernel can pick the
+        # runtime-computed SF row with a dynamic *sublane* slice (Mosaic
+        # forbids dynamic lane-dim slicing; sublane is fine).
+        in_specs.append(pl.BlockSpec((nsf, bm), lambda i, j, s, *pf: (0, i),
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((nsf, bn), lambda i, j, s, *pf: (0, j),
                                      memory_space=pltpu.VMEM))
@@ -88,17 +92,21 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
         if not spec.is_scaled:
             acc_ref[:] += dot_mn(a_blk, b_blk, False, False)
         else:
-            sfa_blk = refs[3][:]      # (bm, nsf)
-            sfb_blk = refs[4][:]      # (nsf, bn)
+            sfa_ref2, sfb_ref2 = refs[3], refs[4]   # (nsf, bm), (nsf, bn)
+            total = None
             for t in range(bk // gsub):
                 # SF row for this sub-slice: group-compact rows
-                # (generators.py:411-433 contract)
+                # (generators.py:411-433 contract). Out-of-group tiles only
+                # multiply zero-padded data; clamp keeps the read in-bounds.
                 row = sfstart_ref[s] + (localbase_ref[s] + t * gsub) // gran
+                row = jnp.minimum(row, nsf - 1)
                 p = dot_mn(a_blk[t * gsub:(t + 1) * gsub, :],
                            b_blk[t * gsub:(t + 1) * gsub, :], False, False)
-                sfa_col = onehot_cols(sfa_blk, nsf, 1, row)   # (bm, 1)
-                sfb_row = onehot_rows(sfb_blk, nsf, 1, row)   # (1, bn)
-                acc_ref[:] += p * (sfa_col * sfb_row)
+                sfa_row = sfa_ref2[pl.ds(row, 1), :]          # (1, bm), exact
+                sfb_row = sfb_ref2[pl.ds(row, 1), :]          # (1, bn), exact
+                term = (p * sfb_row) * sfa_row.reshape(bm, 1)
+                total = term if total is None else total + term
+            acc_ref[:] += total
 
         @pl.when(last_ref[s] == 1)
         def _():
@@ -177,9 +185,10 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     # the k alignment, so use the largest 32-multiple divisor of it.
     bk = k_alignment
     assert total_k % bk == 0, (total_k, bk)
-    bm = min(256, align(m, 8))
-    bn = min(256, align(n, 128 if n % 128 == 0 else n))
-    nsf_total = sfa_t.shape[1] if is_scaled else 0
+    # lane-dim blocks must be 128-divisible or cover the whole dim (Mosaic)
+    bm = min(256, m) if m % 128 == 0 else m
+    bn = min(256, n) if n % 128 == 0 else n
+    nsf_total = sfa_t.shape[0] if is_scaled else 0
 
     spec = KGroupedGemmSpec(
         num_groups=num_groups, m=m, n=n, total_k=total_k,

@@ -36,7 +36,7 @@ def k_grouped_fp8_gemm_tn_contiguous(a, b, d=None, ks=None, grouped_layout=None,
         assert ks is not None
         grouped_layout = jnp.asarray(ks, dtype=jnp.int32)
 
-    sfa_t = sfa.T.astype(jnp.float32) if sfa is not None else None   # [m, nsf]
+    sfa_t = sfa.astype(jnp.float32) if sfa is not None else None     # [nsf, m]
     sfb_t = sfb.astype(jnp.float32) if sfb is not None else None     # [nsf, n]
     return k_grouped_gemm(a_val, b_val, c, grouped_layout,
                           use_psum_layout=use_psum_layout,

@@ -27,7 +27,14 @@ import tempfile
 import numpy as np
 
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC_PATH = os.path.join(os.path.dirname(_PKG_DIR), 'csrc', 'dgt_runtime.cpp')
+# repo checkout layout, then installed-wheel layout (setup.py ships csrc/ as
+# deepgemm_tpu/_csrc — the analog of the reference shipping its include tree)
+_SRC_CANDIDATES = [
+    os.path.join(os.path.dirname(_PKG_DIR), 'csrc', 'dgt_runtime.cpp'),
+    os.path.join(_PKG_DIR, '_csrc', 'dgt_runtime.cpp'),
+]
+_SRC_PATH = next((p for p in _SRC_CANDIDATES if os.path.exists(p)),
+                 _SRC_CANDIDATES[0])
 
 
 def _fnv1a_py(data: bytes) -> int:
