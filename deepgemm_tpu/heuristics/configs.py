@@ -15,9 +15,9 @@ import jax.numpy as jnp
 from ..utils.math import align, ceil_div
 
 # Per-core VMEM budget in bytes (of ~16 MiB, the rest is reserved for
-# Mosaic's own double-buffering of the pipelined blocks). 12 MiB validated on
-# v5e with the (512, 2048, 512) fp8 tile; (1024, 2048, 512) overflows.
-VMEM_BUDGET = 12 * 1024 * 1024
+# Mosaic's own bookkeeping). 12.5 MiB validated on v5e with the
+# (256, 1024, 4096) fp8 tile; (512, 1024, 4096) at ~16.5 MiB overflows.
+VMEM_BUDGET = 12 * 1024 * 1024 + 512 * 1024
 
 MXU_DIM = 128
 
@@ -70,42 +70,65 @@ def get_gemm_config(m: int, n: int, k: int,
     Tile defaults are tuned on TPU v5e: 512x1024 for BF16, 512x512 for the
     scaled paths (the promote epilogue adds VPU pressure).
     """
-    ab_bytes = _dtype_bytes(a_dtype) + _dtype_bytes(b_dtype)
+    a_bytes, b_bytes = _dtype_bytes(a_dtype), _dtype_bytes(b_dtype)
     out_bytes = _dtype_bytes(out_dtype)
     is_scaled = scale_strategy is not None
 
+    # Tile policy (swept on v5e at 4096^3): the k block should be as DEEP as
+    # VMEM affords — each grid k-step re-reads/writes the f32 accumulator, so
+    # fewer, deeper steps win (promote fp8: 160 TFLOPS at bk=512 -> 176 at
+    # bk=4096 with (bm, bn) = (256, 1024)). Priority: bk >> bn > bm.
     if is_grouped_m:
         # Each m-tile must lie entirely inside one group: pin block_m to the
         # group start alignment (or a divisor of it).
         block_m = min(mk_alignment, 512)
     else:
-        block_m = _pick_block(m, 512, _MIN_SUBLANES[_dtype_bytes(a_dtype)])
+        block_m = _pick_block(m, 256, _MIN_SUBLANES[_dtype_bytes(a_dtype)])
 
-    # Lane-dim (n) blocks want multiples of the MXU width; fall back to the
-    # largest MXU-fraction divisor for ragged n (e.g. n=576 -> 192).
-    # FP8 operands are 1 byte, so the scaled path affords a 2x wider n tile —
-    # measured best on v5e: (512, 2048, 512) at 166 TFLOPS vs 160 at bn=1024.
-    n_pref = 2048 if (is_scaled and ab_bytes <= 2) else 1024
+    # Lane-dim (n) blocks want multiples of the MXU width; ragged n keeps the
+    # whole dim (Mosaic lane rule: divisible by 128 or whole).
+    n_pref = 1024
     if n % MXU_DIM == 0:
         block_n = _pick_block(n, n_pref, MXU_DIM)
     else:
-        block_n = n if n <= n_pref else align(n, MXU_DIM)
-        block_n = min(block_n, n_pref)
+        block_n = n
 
     # k blocks are multiples of the scale granularity so each in-kernel
     # promotion step covers whole scale blocks.
     k_quantum = max(gran_k, MXU_DIM) if gran_k >= MXU_DIM else MXU_DIM
-    block_k = _pick_block(k, 512, k_quantum)
+    k_full = align(k, k_quantum)
 
-    # Shrink block_k then block_n until the working set fits in VMEM.
     def working_set(bm, bn, bk):
-        return (bm * bk * _dtype_bytes(a_dtype) + bn * bk * _dtype_bytes(b_dtype)) * 2 \
+        return (bm * bk * a_bytes + bn * bk * b_bytes) * 2 \
             + bm * bn * 4 + bm * bn * out_bytes * 2
 
-    while working_set(block_m, block_n, block_k) > VMEM_BUDGET and block_k > k_quantum:
-        block_k //= 2
-    while working_set(block_m, block_n, block_k) > VMEM_BUDGET and block_n > MXU_DIM:
+    def max_bk(bm, bn):
+        fixed = bm * bn * 4 + bm * bn * out_bytes * 2
+        per_k = (bm * a_bytes + bn * b_bytes) * 2
+        fit = (VMEM_BUDGET - fixed) // per_k if VMEM_BUDGET > fixed else 0
+        return min(k_full, max(fit // k_quantum * k_quantum, 0))
+
+    fit = max_bk(block_m, block_n)
+    # Shrink bn then bm until at least one k quantum fits.
+    while fit < k_quantum and block_n > MXU_DIM and block_n % 2 == 0:
         block_n //= 2
+        fit = max_bk(block_m, block_n)
+    while fit < k_quantum and block_m > _MIN_SUBLANES[a_bytes]:
+        block_m //= 2
+        fit = max_bk(block_m, block_n)
+    fit = max(fit, k_quantum)
+
+    # Balance the k steps: a non-dividing bk leaves a ragged (masked) final
+    # step that wrecks the pipeline (measured 110 vs 176 TFLOPS at 4096^3
+    # with bk=3072). Pick the fewest equal steps that fit.
+    if fit >= k_full:
+        block_k = k_full
+    else:
+        steps = ceil_div(k_full, fit)
+        block_k = align(ceil_div(k_full, steps), k_quantum)
+        while block_k > fit:
+            steps += 1
+            block_k = align(ceil_div(k_full, steps), k_quantum)
 
     if scale_strategy is None:
         scale_strategy = 'promote'

@@ -20,6 +20,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.moe import MoEConfig, ep_moe_forward
+from ..parallel.mega import mega_moe_forward
 from ..ops.gemm import fp8_gemm_nt
 from ..utils.math import per_token_cast_to_fp8, per_block_cast_to_fp8
 
@@ -37,6 +38,8 @@ class ModelConfig:
     capacity_factor: float = 4.0
     use_fp8: bool = False          # fp8 Pallas path (inference only)
     use_kernels: bool = False      # Pallas kernels vs differentiable XLA
+    use_mega: bool = False         # overlapped mega-MoE pipeline (inference)
+    mega_chunks: int = 4           # dispatch/combine chunks in the pipeline
 
     @property
     def qkv_dim(self):
@@ -133,8 +136,13 @@ def moe_block(x, layer, cfg: ModelConfig, mesh: Optional[Mesh]):
     moe_cfg = cfg.moe_cfg()
 
     def fwd(tok, idx, ww, w1, w2):
-        y, _ = ep_moe_forward(tok, idx, ww, w1, None, w2, None, moe_cfg,
-                              axis_name='ep')
+        if cfg.use_mega:
+            y, _ = mega_moe_forward(tok, idx, ww, w1, None, w2, None, moe_cfg,
+                                    num_chunks=cfg.mega_chunks,
+                                    axis_name='ep')
+        else:
+            y, _ = ep_moe_forward(tok, idx, ww, w1, None, w2, None, moe_cfg,
+                                  axis_name='ep')
         return y
 
     if mesh is None:

