@@ -27,7 +27,18 @@ from .ops.gemm import (
     fp8_fp4_gemm_nt, fp8_fp4_gemm_nn, fp8_fp4_gemm_tn, fp8_fp4_gemm_tt,
     fp8_gemm_nt, fp8_gemm_nn, fp8_gemm_tn, fp8_gemm_tt,
     bf16_gemm_nt, bf16_gemm_nn, bf16_gemm_tn, bf16_gemm_tt,
+    cublaslt_gemm, cublaslt_gemm_nt, cublaslt_gemm_nn,
 )
+
+
+def init(library_root=None, cache_dir=None):
+    """Library init — parity with ``_C.init(pkg_dir, cuda_home)``
+    (/root/reference/csrc/apis/runtime.hpp:42-48 via deep_gemm/__init__.py:122-125).
+    Optional on TPU: enables the persistent compilation cache; everything
+    else initializes lazily (fork-safe)."""
+    del library_root
+    from .runtime.cache import init_persistent_cache
+    return init_persistent_cache(cache_dir)
 
 # M-grouped GEMMs (MoE prefill / decode)
 from .ops.m_grouped import (

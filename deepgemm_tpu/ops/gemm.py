@@ -38,12 +38,62 @@ def _split_pair(x) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     return x, None
 
 
+def _decode_packed_fp4(v: jnp.ndarray) -> jnp.ndarray:
+    """Packed-FP4 operand (int8, two e2m1 codes per byte along the minor dim
+    — the reference's ``kPackedFP4 = torch::kInt8`` convention,
+    /root/reference/csrc/utils/math.hpp:11) -> exact bf16 values with the
+    minor dim doubled. e2m1 magnitudes {0, .5, 1, 1.5, 2, 3, 4, 6} are exact
+    in bf16, so this decode is lossless; scales apply downstream."""
+    from ..utils.math import unpack_fp4_codes, _dequantize_from_fp4_e2m1
+    codes = unpack_fp4_codes(v)
+    return _dequantize_from_fp4_e2m1(codes).astype(jnp.bfloat16)
+
+
 def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
                recipe=None, recipe_a=None, recipe_b=None,
                compiled_dims: str = 'nk', disable_ue8m0_cast: bool = False):
     del compiled_dims  # all dims are static under jit; kept for API parity
     a_val, sfa = _split_pair(a)
     b_val, sfb = _split_pair(b)
+
+    # FP4 operands: decode the packed e2m1 codes to exact bf16 AND fold the
+    # operand's own scales in (exact: the FP4 contract is UE8M0/po2 scales —
+    # e2m1 mantissas survive po2 scaling in bf16 losslessly). The operand
+    # then flows through the fp8/bf16 scaled path with unit scales at
+    # (1, 128) granularity. In-kernel nibble decode is a future bandwidth
+    # optimization; numerics are identical.
+    def _fold_fp4(v, sf, sub_recipe, kmajor):
+        assert kmajor, ('packed-FP4 operands must be k-major; repack T '
+                        'layouts with transpose_packed_fp4 first')
+        gran = (sub_recipe[1] if sub_recipe else
+                (recipe[-1] if recipe else 32))
+        vals = _decode_packed_fp4(v)                     # [dim, k] bf16
+        if sf is None:
+            return vals
+        if sf.dtype == jnp.int32:
+            from ..utils.math import unpack_ue8m0_from_int
+            sf = unpack_ue8m0_from_int(sf)
+        reps = jnp.repeat(sf.astype(jnp.float32), gran, axis=1)[:, :vals.shape[1]]
+        return (vals.astype(jnp.float32) * reps).astype(jnp.bfloat16)
+
+    folded_a = a_val.dtype == jnp.int8
+    folded_b = b_val.dtype == jnp.int8
+    if folded_a:
+        a_val = _fold_fp4(a_val, sfa, recipe_a, a_kmajor)
+    if folded_b:
+        b_val = _fold_fp4(b_val, sfb, recipe_b, b_kmajor)
+    if folded_a or folded_b:
+        k_dim = a_val.shape[1] if a_kmajor else a_val.shape[0]
+        ksf = ceil_div(k_dim, 128)
+        recipe = None
+        if folded_a:
+            sfa = jnp.ones((a_val.shape[0], ksf), jnp.float32)
+            recipe_a = (1, 128)
+        if folded_b:
+            sfb = jnp.ones((b_val.shape[0], ksf), jnp.float32)
+            recipe_b = (1, 128)
+        recipe_a = recipe_a or (1, 128)
+        recipe_b = recipe_b or (128, 128)
 
     m = a_val.shape[0] if a_kmajor else a_val.shape[1]
     k = a_val.shape[1] if a_kmajor else a_val.shape[0]
@@ -87,7 +137,9 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
     # Otherwise the exact f32 promotion epilogue runs
     # (impls/sm90_fp8_gemm_1d2d.cuh:332-347 semantics).
     from ..runtime.config import runtime
-    scales_pow2 = sfa.dtype == jnp.int32 and sfb.dtype == jnp.int32
+    # Folded-FP4 sides carry exact unit scales, so they count as po2.
+    scales_pow2 = ((folded_a or sfa.dtype == jnp.int32) and
+                   (folded_b or sfb.dtype == jnp.int32))
     strategy = runtime().force_scale_strategy or \
         ('dequant' if scales_pow2 else 'promote')
     sfa_mmaj, sfb_kmaj_like = required_sf_orientation(strategy, a_kmajor, b_kmajor)
@@ -143,6 +195,34 @@ fp8_gemm_nt = fp8_fp4_gemm_nt
 fp8_gemm_nn = fp8_fp4_gemm_nn
 fp8_gemm_tn = fp8_fp4_gemm_tn
 fp8_gemm_tt = fp8_fp4_gemm_tt
+
+
+# ---------------------------------------------------------------------------
+# XLA-native baseline entries — parity with the reference's cuBLASLt baseline
+# family (/root/reference/csrc/jit_kernels/impls/smxx_cublaslt.hpp:14-151),
+# used by tests/benches as the vendor-library yardstick. On TPU the vendor
+# engine is XLA's own dot emitter.
+# ---------------------------------------------------------------------------
+
+def cublaslt_gemm_nt(a, b, d=None, c=None):
+    out_dtype = _out_dtype_of(d)
+    r = jax.lax.dot_general(a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if c is not None:
+        r = r + c.astype(jnp.float32)
+    return r.astype(out_dtype)
+
+
+def cublaslt_gemm_nn(a, b, d=None, c=None):
+    out_dtype = _out_dtype_of(d)
+    r = jax.lax.dot_general(a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if c is not None:
+        r = r + c.astype(jnp.float32)
+    return r.astype(out_dtype)
+
+
+cublaslt_gemm = cublaslt_gemm_nt
 
 
 def fp8_gemm_nt_skip_head_mid(a, b, d=None, head_splits=None, c=None,

@@ -105,6 +105,24 @@ def dispatch_indices(topk_idx: jnp.ndarray, num_experts: int, e_local: int,
     return rank, local, slot, kept, num_dropped
 
 
+def local_expert_recv_stats(topk_idx: jnp.ndarray, cfg: MoEConfig,
+                            axis_name: str = 'ep') -> jnp.ndarray:
+    """Per-LOCAL-expert received-token counts for this step — the analog of
+    the mega kernel's on-device `cumulative_local_expert_recv_stats`
+    (/root/reference/deep_gemm/include/deep_gemm/impls/sm100_fp8_fp4_mega_moe.cuh:630-634).
+    Functional: returns this step's counts [E_local]; accumulate across steps
+    on the caller side. Runs inside shard_map over ``axis_name``. Counts
+    include capacity-dropped pairs (they were routed, like the reference's
+    recv accounting) — subtract num_dropped for landed-only counts."""
+    ep = jax.lax.psum(1, axis_name)
+    e_local = cfg.num_experts // ep
+    e = topk_idx.reshape(-1)
+    cnt = jnp.zeros((ep, e_local), jnp.int32)
+    cnt = cnt.at[e // e_local, e % e_local].add(1)
+    total = jax.lax.psum(cnt, axis_name)            # sum over source ranks
+    return total[jax.lax.axis_index(axis_name)]
+
+
 def ep_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
                    topk_weights: jnp.ndarray,
                    w1, w1_sf, w2, w2_sf,

@@ -96,6 +96,36 @@ def test_fp8_gemm_packed_ue8m0_sf():
     assert calc_diff(d, ref_d) < 1e-3
 
 
+def test_fp8_fp4_gemm_nt():
+    """FP8 activations x packed-FP4 weights (the reference's SM100 FP8xFP4
+    path, csrc/apis/gemm.hpp fp8_fp4_* with kPackedFP4 int8 operands).
+    The packed int8 B is decoded to exact bf16 in the ops layer; UE8M0
+    scales make the dequant fold exact."""
+    rng = np.random.RandomState(11)
+    m, n, k = 64, 128, 256
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(n, k), jnp.bfloat16)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=True)
+    bq, bsf = dg.per_token_cast_to_fp4(b, use_ue8m0=True, gran_k=32)
+    assert bq.dtype == jnp.int8 and bq.shape == (n, k // 2)
+
+    d = dg.fp8_fp4_gemm_nt((aq, asf), (bq, bsf))   # default FP4 recipes
+    # quantized oracle (exact: po2 scales)
+    a_deq = f32(aq) * np.repeat(np.asarray(asf), 128, axis=1)[:, :k]
+    b_deq = np.asarray(dg.cast_back_from_fp4(bq, bsf, gran_k=32))
+    qref = a_deq @ b_deq.T
+    assert calc_diff(d, qref) < 1e-4
+    # and within FP4 tolerance of the unquantized reference
+    # (/root/reference/tests/generators.py:65-70 uses 0.01-0.02 with FP4)
+    ref = f32(a) @ f32(b).T
+    assert calc_diff(d, ref) < 2e-2
+
+    # explicit recipes give the same result
+    d2 = dg.fp8_fp4_gemm_nt((aq, asf), (bq, bsf),
+                            recipe_a=(1, 128), recipe_b=(1, 32))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
+
+
 def test_fp8_gemm_exact_f32_scales_default_flags():
     """REGRESSION (found on real TPU): non-power-of-two f32 scales with
     DEFAULT kwargs must be applied exactly — the SM90-style contract

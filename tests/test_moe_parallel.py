@@ -98,6 +98,28 @@ def _dequant(w_q, w_sf):
     return np.asarray(w_q).astype(np.float32) * sf_full
 
 
+def test_local_expert_recv_stats():
+    """Recv-stats observability vs a numpy count
+    (cumulative_local_expert_recv_stats analog)."""
+    from deepgemm_tpu.parallel.moe import local_expert_recv_stats
+    mesh = make_mesh([('ep', 8)])
+    cfg = MoEConfig(num_experts=16, hidden=64, intermediate=64, topk=2)
+    rng = np.random.RandomState(4)
+    t_total = 64 * 8
+    logits = rng.randn(t_total, cfg.num_experts)
+    topk_idx = jnp.asarray(np.argsort(-logits, axis=1)[:, :cfg.topk].astype(np.int32))
+
+    def fwd(idx_l):
+        return local_expert_recv_stats(idx_l, cfg)
+
+    stats = shard_map(fwd, mesh=mesh, check_vma=False,
+                      in_specs=P('ep'), out_specs=P('ep'))(topk_idx)
+    stats = np.asarray(stats).reshape(8, cfg.num_experts // 8)
+    expect = np.bincount(np.asarray(topk_idx).ravel(),
+                         minlength=cfg.num_experts).reshape(8, -1)
+    np.testing.assert_array_equal(stats, expect)
+
+
 def test_ep_moe_kernel_vs_xla_paths():
     """The Pallas-kernel path and the differentiable XLA path agree."""
     mesh = make_mesh([('ep', 8)])
