@@ -16,12 +16,48 @@ meaningful; ``masked_m`` is never read on host (graph-safe decode).
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..kernels.grouped import m_grouped_gemm_contiguous, m_grouped_gemm_masked
-from ..utils.math import ceil_div
+from ..runtime.config import runtime
+from ..utils.math import align, ceil_div
 from .gemm import _split_pair, _out_dtype_of
 from .sf_layout import resolve_recipes, unpack_ue8m0_from_int
+
+
+def _ragged_contiguous_bf16(a, b_kn, grouped_layout, num_groups: int,
+                            use_psum_layout: bool, ensure_zero_padding: bool,
+                            out_dtype):
+    """BF16 contiguous grouped GEMM on XLA's native ``jax.lax.ragged_dot``
+    (the megablox-gmm emitter): measured 143 vs 90 TFLOPS for the
+    alignment-pinned Pallas tiling at G=8, 8192x4096x7168 on v5e. The Pallas
+    kernel remains the path for FP8 (ragged_dot has no block-scaled form;
+    the Pallas FP8 kernel reaches 155 TFLOPS on the same shape)."""
+    m = a.shape[0]
+    rows = jnp.arange(m, dtype=jnp.int32)
+    if use_psum_layout:
+        ends = grouped_layout.astype(jnp.int32)
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+        k_align = runtime().mk_alignment
+        starts = (prev + k_align - 1) // k_align * k_align
+        starts = jnp.where(jnp.arange(num_groups) == 0, 0, starts)
+        next_starts = jnp.concatenate([starts[1:],
+                                       jnp.full((1,), m, jnp.int32)])
+        sizes = next_starts - starts
+        gid = jnp.clip(jnp.searchsorted(starts, rows, side='right') - 1,
+                       0, num_groups - 1)
+        valid = rows < ends[gid]
+    else:
+        ids = grouped_layout.astype(jnp.int32)
+        carried = jnp.maximum(jax.lax.associative_scan(jnp.maximum, ids), 0)
+        sizes = jnp.bincount(carried, length=num_groups)
+        valid = ids >= 0
+    out = jax.lax.ragged_dot(a, b_kn, sizes.astype(jnp.int32),
+                             preferred_element_type=jnp.float32)
+    if ensure_zero_padding or not use_psum_layout:
+        out = jnp.where(valid[:, None], out, 0.0)
+    return out.astype(out_dtype)
 
 
 def _grouped_sfb_t(sfb, num_groups: int, n: int, k: int,
@@ -60,10 +96,10 @@ def _m_grouped_contiguous_impl(a, b, d, grouped_layout, *, b_kmajor: bool,
     out_dtype = _out_dtype_of(d)
 
     if sfa is None:
-        return m_grouped_gemm_contiguous(
-            a_val, b_val, grouped_layout, use_psum_layout=use_psum_layout,
-            b_kmajor=b_kmajor, out_dtype=out_dtype,
-            ensure_zero_padding=ensure_zero_padding)
+        b_kn = jnp.swapaxes(b_val, 1, 2) if b_kmajor else b_val
+        return _ragged_contiguous_bf16(
+            a_val, b_kn, grouped_layout, num_groups, use_psum_layout,
+            ensure_zero_padding, out_dtype)
 
     recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
     if sfa.dtype == jnp.int32:

@@ -63,8 +63,6 @@ def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, num_devices: int,
         waiter.wait()
 
 
-@functools.partial(jax.jit, static_argnames=('axis_name', 'num_devices',
-                                             'collective_id'))
 def _a2a_call(x, *, axis_name: str, num_devices: int, collective_id: int):
     kernel = functools.partial(_a2a_kernel, num_devices=num_devices,
                                axis_name=axis_name)

@@ -197,11 +197,15 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     num_dropped). Bitwise-equal to the unfused path when driven with the same
     ``gemm_cfg1/gemm_cfg2``.
 
-    ``comm`` selects the chunk transport: 'xla' = ``jax.lax.all_to_all``
-    (XLA async collectives over ICI), 'pallas' = the one-sided remote-DMA
-    all-to-all (parallel/collectives.py) — the direct analog of the mega
-    kernel's NVLink symmetric-memory pulls. Both move bits verbatim, so the
-    bitwise contract holds for either.
+    ``comm`` selects the transport: 'xla' = ``jax.lax.all_to_all`` (XLA
+    async collectives over ICI), 'pallas' = the one-sided remote-DMA
+    all-to-all (parallel/collectives.py), 'fused' = the in-kernel
+    RDMA+GEMM kernel (kernels/fused_moe.py) where the dispatch DMAs overlap
+    the L1 expert GEMM inside one Pallas program — the closest analog of the
+    reference's fused mega kernel. 'xla'/'pallas' move bits verbatim, so the
+    bitwise contract holds for either; 'fused' computes the L1 GEMM at full
+    k depth (last-ulp differences vs a k-split config are possible).
+    BF16 weights only for 'fused' in this round.
     """
     t_count, hidden = x.shape
     k = topk_idx.shape[1]
@@ -221,6 +225,28 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     send_x = send_x.at[rank, local, safe_slot].set(x[pair_t], mode='drop')
     send_w = jnp.zeros((ep, e_local, cap), jnp.float32)
     send_w = send_w.at[rank, local, safe_slot].set(pair_w, mode='drop')
+
+    if comm == 'fused':
+        # In-kernel RDMA dispatch fused with the L1 GEMM (phase-1 analog of
+        # sm100_fp8_fp4_mega_moe.cuh): the remote slab DMAs overlap the MXU
+        # work on already-landed slabs inside one Pallas program.
+        assert w1_sf is None and w2_sf is None, \
+            'comm="fused" supports BF16 expert weights in this round'
+        from ..kernels.fused_moe import fused_dispatch_gemm
+        gate_all, _ = fused_dispatch_gemm(send_x, w1, axis_name)
+        rw = jax.lax.all_to_all(send_w, axis_name, 0, 0, tiled=False)
+        rows = ep * cap
+        gate_up = gate_all.reshape(e_local, rows, 2 * cfg.intermediate)
+        row_w = rw.transpose(1, 0, 2).reshape(e_local, rows)
+        act = swiglu_apply_weight(gate_up, row_w).astype(jnp.bfloat16)
+        y_exp = _expert_gemm(act, w2, None, cfg, gemm_cfg=gemm_cfg2)
+        back = y_exp.reshape(e_local, ep, cap, hidden).transpose(1, 0, 2, 3)
+        y_slots = jax.lax.all_to_all(back, axis_name, 0, 0, tiled=False)
+        y_pairs = y_slots[rank, local, safe_slot.clip(0, cap - 1)]
+        y_pairs = jnp.where(kept[:, None], y_pairs, 0)
+        out = jnp.zeros((t_count, hidden), jnp.float32)
+        out = out.at[pair_t].add(y_pairs.astype(jnp.float32))
+        return out.astype(jnp.bfloat16), num_dropped.reshape(1)
 
     bounds = _chunk_bounds(cap, num_chunks)
     cid = [0]

@@ -126,6 +126,36 @@ def test_mega_pallas_comm_bitwise():
     assert_bitwise_equal(d_pallas, d_xla)
 
 
+def test_mega_fused_comm():
+    """comm='fused' (in-kernel RDMA dispatch + L1 GEMM) matches the unfused
+    baseline within f32-accumulation tolerance (full-k-depth L1 dot vs the
+    split-k masked kernel). 2-device submesh: the distributed interpreter is
+    one python thread per device on a 1-core CI box."""
+    mesh = make_mesh([('ep', 2)])
+    cfg = MoEConfig(num_experts=4, hidden=128, intermediate=128, topk=2,
+                    capacity_factor=8.0, use_fp8=False, use_kernels=True)
+    rng = np.random.RandomState(6)
+    t_total = 32 * 2
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg)
+
+    def run(comm):
+        def fwd(x_l, idx_l, w_l, w1_l, w2_l):
+            if comm is None:
+                return ep_moe_forward(x_l, idx_l, w_l, w1_l, None, w2_l,
+                                      None, cfg)
+            return mega_moe_forward(x_l, idx_l, w_l, w1_l, None, w2_l, None,
+                                    cfg, comm=comm)
+        return shard_map(fwd, mesh=mesh, check_vma=False,
+                         in_specs=(P('ep'),) * 5,
+                         out_specs=(P('ep'), P('ep')))(
+                             x, topk_idx, topk_w, w1, w2)
+
+    y_ref, d_ref = run(None)
+    y_fused, d_fused = run('fused')
+    assert_bitwise_equal(d_fused, d_ref)
+    assert calc_diff(y_fused, y_ref) < 1e-5
+
+
 def test_transform_weights_roundtrip():
     rng = np.random.RandomState(3)
     e, inter, h, g = 2, 256, 64, 8
