@@ -28,6 +28,7 @@ from .ops.gemm import (
     fp8_gemm_nt, fp8_gemm_nn, fp8_gemm_tn, fp8_gemm_tt,
     bf16_gemm_nt, bf16_gemm_nn, bf16_gemm_tn, bf16_gemm_tt,
     cublaslt_gemm, cublaslt_gemm_nt, cublaslt_gemm_nn,
+    cublaslt_gemm_tn, cublaslt_gemm_tt,
 )
 
 
@@ -95,10 +96,13 @@ from .legacy import (
 # Mega MoE (overlapped EP pipeline; parity with deep_gemm.mega)
 from .parallel import mega
 from .parallel.mega import (
-    fp8_fp4_mega_moe, bf16_mega_moe,
+    fp8_fp4_mega_moe, bf16_mega_moe, SymmBuffer,
+    transform_weights_for_mega_moe,
     get_symm_buffer_size_for_mega_moe,
     get_token_alignment_for_mega_moe, get_ring_limit_for_mega_moe,
 )
+# reference Python-level name (deep_gemm/__init__.py:85-91)
+get_symm_buffer_for_mega_moe = SymmBuffer
 
 from . import testing
 from . import utils

@@ -222,6 +222,24 @@ def cublaslt_gemm_nn(a, b, d=None, c=None):
     return r.astype(out_dtype)
 
 
+def cublaslt_gemm_tn(a, b, d=None, c=None):
+    out_dtype = _out_dtype_of(d)
+    r = jax.lax.dot_general(a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if c is not None:
+        r = r + c.astype(jnp.float32)
+    return r.astype(out_dtype)
+
+
+def cublaslt_gemm_tt(a, b, d=None, c=None):
+    out_dtype = _out_dtype_of(d)
+    r = jax.lax.dot_general(a, b, dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if c is not None:
+        r = r + c.astype(jnp.float32)
+    return r.astype(out_dtype)
+
+
 cublaslt_gemm = cublaslt_gemm_nt
 
 
