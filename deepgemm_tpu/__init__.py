@@ -54,6 +54,9 @@ from .ops.m_grouped import (
 # Einsum kernels
 from .ops.einsum import einsum, fp8_einsum, fp8_bmm
 
+# Differentiable FP8 ops (forward fp8 GEMM, dgrad fp8, wgrad FP32-accum)
+from .ops.autograd import fp8_matmul, fp8_dense
+
 # HyperConnection kernels
 from .ops.hyperconnection import tf32_hc_prenorm_gemm
 
