@@ -30,6 +30,8 @@ class KernelCache:
         with self._lock:
             fn = self._cache.get(spec)
             if fn is None:
+                from .config import runtime
+                runtime().maybe_print_config(spec, getattr(spec, 'cfg', None))
                 fn = builder()
                 self._cache[spec] = fn
         return fn
