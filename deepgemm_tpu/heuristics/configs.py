@@ -18,6 +18,11 @@ from ..utils.math import align, ceil_div
 # Mosaic's own bookkeeping). 12.5 MiB validated on v5e with the
 # (256, 1024, 4096) fp8 tile; (512, 1024, 4096) at ~16.5 MiB overflows.
 VMEM_BUDGET = 12 * 1024 * 1024 + 512 * 1024
+# NOTE (swept, then reverted): a single-k-step (128, 1024, 7168) fp8 tile at
+# a 16.75 MiB estimate measured 163.6 vs 155 TFLOPS for the 2-step split, but
+# compilation at that margin is FLAKY (the same config compiled in one
+# harness and OOM'd in another once the stepped SF operands were live).
+# Stay within VMEM_BUDGET; revisit if Mosaic exposes real occupancy.
 
 MXU_DIM = 128
 

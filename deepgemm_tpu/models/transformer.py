@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.autograd import fp8_dense
 from ..parallel.moe import MoEConfig, ep_moe_forward
 from ..parallel.mega import mega_moe_forward
 from ..ops.gemm import fp8_gemm_nt
@@ -40,6 +41,9 @@ class ModelConfig:
     use_kernels: bool = False      # Pallas kernels vs differentiable XLA
     use_mega: bool = False         # overlapped mega-MoE pipeline (inference)
     mega_chunks: int = 4           # dispatch/combine chunks in the pipeline
+    # FP8 TRAINING: attention projections through the differentiable fp8
+    # matmul (custom VJP: fp8 fwd/dgrad, FP32-accumulate wgrad)
+    use_fp8_training: bool = False
 
     @property
     def qkv_dim(self):
@@ -106,8 +110,11 @@ def rms_norm(x, gamma, eps: float = 1e-6):
 
 def attention(x, wqkv, wo, cfg: ModelConfig):
     b, s, h = x.shape
-    qkv = jnp.einsum('bsh,dh->bsd', x, wqkv,
-                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    if cfg.use_fp8_training:
+        qkv = fp8_dense(x, wqkv)
+    else:
+        qkv = jnp.einsum('bsh,dh->bsd', x, wqkv,
+                         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_heads, cfg.head_dim)
@@ -121,6 +128,8 @@ def attention(x, wqkv, wo, cfg: ModelConfig):
     ctx = jnp.einsum('bnqk,bknd->bqnd', probs, v,
                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     ctx = ctx.reshape(b, s, cfg.qkv_dim)
+    if cfg.use_fp8_training:
+        return fp8_dense(ctx, wo)
     return jnp.einsum('bsd,hd->bsh', ctx, wo,
                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
