@@ -41,6 +41,37 @@ def test_fp8_matmul_grads():
     assert gx.dtype == x.dtype and gw.dtype == w.dtype
 
 
+def test_fp8_grouped_matmul_grads():
+    """Grouped MoE matmul: fwd vs dense oracle; dx/dw vs bf16 autodiff."""
+    from deepgemm_tpu.ops.autograd import fp8_grouped_matmul
+    rng = np.random.RandomState(3)
+    num_groups, rows, n, k = 2, 128, 128, 256   # rows per group = mk align
+    m = num_groups * rows
+    ids = jnp.repeat(jnp.arange(num_groups, dtype=jnp.int32), rows)
+    x = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(num_groups, n, k) * 0.1, jnp.bfloat16)
+
+    d = fp8_grouped_matmul(x, w, ids)
+    ref = np.zeros((m, n), np.float32)
+    for i in range(m):
+        ref[i] = np.asarray(x, np.float32)[i] @ \
+            np.asarray(w, np.float32)[int(ids[i])].T
+    assert calc_diff(d, ref) < 1e-3
+
+    def loss_fp8(x_, w_):
+        return jnp.sum(fp8_grouped_matmul(x_, w_, ids).astype(jnp.float32) ** 2)
+
+    def loss_ref(x_, w_):
+        xf, wf = x_.astype(jnp.float32), w_.astype(jnp.float32)
+        d_ = jnp.einsum('mk,mnk->mn', xf, wf[ids])
+        return jnp.sum(d_ ** 2)
+
+    gx, gw = jax.grad(loss_fp8, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    assert calc_diff(gx, rx) < 5e-3, calc_diff(gx, rx)
+    assert calc_diff(gw, rw) < 5e-3, calc_diff(gw, rw)
+
+
 def test_fp8_dense_training_step():
     """One SGD step through an fp8 dense layer decreases the loss."""
     rng = np.random.RandomState(2)
