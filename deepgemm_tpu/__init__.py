@@ -88,6 +88,7 @@ from .utils.math import (
     per_token_cast_to_fp8, per_channel_cast_to_fp8, per_block_cast_to_fp8,
     per_custom_dims_cast_to_fp8,
     per_token_cast_to_fp4, transpose_packed_fp4, cast_back_from_fp4,
+    pack_fp4_planar, unpack_fp4_planar, repack_fp4_to_planar,
 )
 
 # Legacy pure-XLA fallback tier (parity with deep_gemm.legacy)

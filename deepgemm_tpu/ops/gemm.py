@@ -51,10 +51,32 @@ def _decode_packed_fp4(v: jnp.ndarray) -> jnp.ndarray:
 
 def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
                recipe=None, recipe_a=None, recipe_b=None,
-               compiled_dims: str = 'nk', disable_ue8m0_cast: bool = False):
+               compiled_dims: str = 'nk', disable_ue8m0_cast: bool = False,
+               fp4_layout: str = 'interleaved'):
     del compiled_dims  # all dims are static under jit; kept for API parity
     a_val, sfa = _split_pair(a)
     b_val, sfb = _split_pair(b)
+
+    # In-kernel FP4 path: planar-128-packed B decodes INSIDE the Pallas
+    # kernel (4x less weight HBM traffic); scales apply exactly through the
+    # f32 promote epilogue at (1, 128) granularity.
+    fp4_in_kernel = (b_val.dtype == jnp.int8 and fp4_layout == 'planar'
+                     and b_kmajor and a_val.dtype != jnp.int8)
+    if fp4_in_kernel:
+        m = a_val.shape[0] if a_kmajor else a_val.shape[1]
+        k = a_val.shape[1] if a_kmajor else a_val.shape[0]
+        recipe_a = recipe_a or (1, 128)
+        recipe_b = recipe_b or (1, 128)
+        assert recipe_b[1] == 128, 'planar FP4 path uses (1, 128) B scales'
+        sfa_t = transform_sfa(sfa, m, k, recipe_a[1], a_kmajor,
+                              want_m_major=True)
+        sfb_t = transform_sfb(sfb, b_val.shape[0], k, recipe_b, b_kmajor=True,
+                              want_n_major=False)
+        return dense_gemm(a_val, b_val, sfa=sfa_t, sfb_t=sfb_t, c=c,
+                          a_kmajor=a_kmajor, b_kmajor=True,
+                          gran_k_a=recipe_a[1], gran_k_b=128,
+                          out_dtype=_out_dtype_of(d),
+                          scale_strategy='promote', b_packed_fp4=True)
 
     # FP4 operands: decode the packed e2m1 codes to exact bf16 AND fold the
     # operand's own scales in (exact: the FP4 contract is UE8M0/po2 scales —
@@ -163,10 +185,13 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
 # ---------------------------------------------------------------------------
 
 def fp8_fp4_gemm_nt(a, b, d=None, c=None, recipe=None, recipe_a=None, recipe_b=None,
-                    compiled_dims='nk', disable_ue8m0_cast=False):
+                    compiled_dims='nk', disable_ue8m0_cast=False,
+                    fp4_layout='interleaved'):
     return _gemm_impl(a, b, d, c, a_kmajor=True, b_kmajor=True,
                       recipe=recipe, recipe_a=recipe_a, recipe_b=recipe_b,
-                      compiled_dims=compiled_dims, disable_ue8m0_cast=disable_ue8m0_cast)
+                      compiled_dims=compiled_dims,
+                      disable_ue8m0_cast=disable_ue8m0_cast,
+                      fp4_layout=fp4_layout)
 
 
 def fp8_fp4_gemm_nn(a, b, d=None, c=None, recipe=None, recipe_a=None, recipe_b=None,

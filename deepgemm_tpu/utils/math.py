@@ -223,6 +223,36 @@ def transpose_packed_fp4(a: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.int8)
 
 
+def pack_fp4_planar(codes: jnp.ndarray) -> jnp.ndarray:
+    """Pack e2m1 codes [.., k] (k % 256 == 0) into the TPU 'planar-128'
+    int8 layout [.., k/2]: within each 256-code group, byte j holds codes
+    (base+j, base+128+j). In-kernel decode then splits nibbles into two
+    128-wide lane vectors and concatenates — no sub-lane interleave (which
+    Mosaic cannot lower). The reference's layout interleaves adjacent codes
+    per byte (deep_gemm/utils/math.py:85-111); use
+    :func:`repack_fp4_to_planar` to convert."""
+    k = codes.shape[-1]
+    assert k % 256 == 0, k
+    c = codes.astype(jnp.int32).reshape(*codes.shape[:-1], k // 256, 2, 128)
+    lo, hi = c[..., 0, :], c[..., 1, :]
+    return ((lo & 0x0F) | ((hi & 0x0F) << 4)).reshape(
+        *codes.shape[:-1], k // 2).astype(jnp.int8)
+
+
+def unpack_fp4_planar(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_fp4_planar` -> int32 codes [.., k]."""
+    k2 = packed.shape[-1]
+    p = packed.astype(jnp.int32).reshape(*packed.shape[:-1], k2 // 128, 128)
+    lo, hi = p & 0x0F, (p >> 4) & 0x0F
+    return jnp.stack([lo, hi], axis=-2).reshape(*packed.shape[:-1], k2 * 2)
+
+
+def repack_fp4_to_planar(packed_interleaved: jnp.ndarray) -> jnp.ndarray:
+    """Reference interleaved packing -> TPU planar-128 packing."""
+    codes = unpack_fp4_codes(packed_interleaved)
+    return pack_fp4_planar(codes)
+
+
 def unpack_fp4_codes(packed: jnp.ndarray) -> jnp.ndarray:
     """int8 packed codes [.., n/2] -> int32 codes [.., n] (low nibble first)."""
     pi = packed.astype(jnp.int32)

@@ -126,6 +126,33 @@ def test_fp8_fp4_gemm_nt():
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
 
 
+def test_fp8_fp4_gemm_planar_in_kernel():
+    """Planar-128-packed FP4 B decoded IN-KERNEL must match the ops-layer
+    decode path bit-for-bit at (1, 128) scales (both end in the exact f32
+    promote epilogue on identical decoded values)."""
+    rng = np.random.RandomState(12)
+    m, n, k = 64, 128, 512
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(n, k), jnp.bfloat16)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+    bq, bsf = dg.per_token_cast_to_fp4(b, use_ue8m0=False, gran_k=128)
+
+    planar = dg.repack_fp4_to_planar(bq)
+    d_planar = dg.fp8_fp4_gemm_nt((aq, asf), (planar, bsf),
+                                  recipe_a=(1, 128), recipe_b=(1, 128),
+                                  fp4_layout='planar')
+    # oracle
+    b_deq = np.asarray(dg.cast_back_from_fp4(bq, bsf, gran_k=128))
+    a_deq = f32(aq) * np.repeat(np.asarray(asf), 128, axis=1)[:, :k]
+    qref = a_deq @ b_deq.T
+    assert calc_diff(d_planar, qref) < 1e-4
+    # planar pack round-trips
+    codes = dg.unpack_fp4_planar(planar)
+    from deepgemm_tpu.utils.math import unpack_fp4_codes
+    np.testing.assert_array_equal(np.asarray(codes),
+                                  np.asarray(unpack_fp4_codes(bq)))
+
+
 def test_fp8_gemm_exact_f32_scales_default_flags():
     """REGRESSION (found on real TPU): non-power-of-two f32 scales with
     DEFAULT kwargs must be applied exactly — the SM90-style contract
