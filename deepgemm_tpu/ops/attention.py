@@ -79,7 +79,8 @@ def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
                              block_table, schedule_meta=None,
                              max_context_len: int = 0,
                              clean_logits: bool = True,
-                             logits_dtype=jnp.float32, indices=None):
+                             logits_dtype=jnp.float32, indices=None,
+                             strategy: str = 'gather'):
     """Decode-side paged indexer scoring
     (/root/reference/csrc/apis/attention.hpp:233-402). ``fused_kv_cache`` may
     be the reference byte layout or a pre-split ``(values, sf)`` pair (the
@@ -99,7 +100,7 @@ def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
         kv_cache, kv_sf = split_fused_kv_cache(fused_kv_cache, d)
     return paged_mqa_logits(q_val, kv_cache, kv_sf, weights, context_lens,
                             block_table, max_context_len,
-                            logits_dtype=logits_dtype)
+                            logits_dtype=logits_dtype, strategy=strategy)
 
 
 def fp8_paged_mqa_logits(q, fused_kv_cache, weights, context_lens, block_table,
