@@ -231,3 +231,23 @@ def test_paged_mqa_logits_2d_context():
             diff = calc_diff(np.where(mask, l_np[row], 0), np.where(mask, vals_row, 0))
             assert diff < 1e-5, f'{i=}, {t=}, {diff=}'
             assert np.all(np.isneginf(l_np[row][~mask]))
+
+
+def test_paged_strategies_bitwise():
+    """gather-then-stream and zero-copy paged strategies are bit-identical."""
+    rng = np.random.RandomState(9)
+    B, nn, h, d = 3, 1, 4, 64
+    block_kv, max_ctx = 64, 256
+    nblocks = B * (max_ctx // block_kv)
+    q = jnp.clip(jnp.asarray(rng.randn(B, nn, h, d), jnp.float32),
+                 -448, 448).astype(jnp.float8_e4m3fn)
+    w = jnp.asarray(rng.randn(B * nn, h).astype(np.float32))
+    ctx = jnp.asarray(rng.randint(32, max_ctx, B), jnp.int32)
+    bt = jnp.asarray(rng.permutation(nblocks).reshape(B, -1), jnp.int32)
+    kvv = jnp.asarray(rng.randn(nblocks, block_kv, d), jnp.float8_e4m3fn)
+    kvs = jnp.asarray(rng.rand(nblocks, block_kv).astype(np.float32))
+    a = dg.fp8_fp4_paged_mqa_logits((q, None), (kvv, kvs), w, ctx, bt,
+                                    max_context_len=max_ctx, strategy="paged")
+    b = dg.fp8_fp4_paged_mqa_logits((q, None), (kvv, kvs), w, ctx, bt,
+                                    max_context_len=max_ctx, strategy="gather")
+    assert_bitwise_equal(b, a)
