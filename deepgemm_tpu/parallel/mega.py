@@ -205,7 +205,10 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     reference's fused mega kernel. 'xla'/'pallas' move bits verbatim, so the
     bitwise contract holds for either; 'fused' computes the L1 GEMM at full
     k depth (last-ulp differences vs a k-split config are possible).
-    BF16 weights only for 'fused' in this round.
+    FP8 'fused' quantizes tokens per-token BEFORE dispatch (halved dispatch
+    traffic — the reference's fused-SF token payload); numerics match the
+    unfused path to fp8 tolerance rather than bitwise (the unfused path
+    quantizes per expert chunk after dispatch).
     """
     t_count, hidden = x.shape
     k = topk_idx.shape[1]
@@ -229,17 +232,32 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     if comm == 'fused':
         # In-kernel RDMA dispatch fused with the L1 GEMM (phase-1 analog of
         # sm100_fp8_fp4_mega_moe.cuh): the remote slab DMAs overlap the MXU
-        # work on already-landed slabs inside one Pallas program.
-        assert w1_sf is None and w2_sf is None, \
-            'comm="fused" supports BF16 expert weights in this round'
+        # work on already-landed slabs inside one Pallas program. FP8 mode
+        # quantizes tokens per-token BEFORE dispatch and pushes the SF
+        # alongside (halved dispatch traffic — the mega kernel's fused-SF
+        # token payload).
         from ..kernels.fused_moe import fused_dispatch_gemm
-        gate_all, _ = fused_dispatch_gemm(send_x, w1, axis_name)
+        if w1_sf is not None:
+            from ..utils.math import per_token_cast_to_fp8
+            xq, xsf = per_token_cast_to_fp8(x, use_ue8m0=False)
+            ksf = xsf.shape[-1]
+            send_q = jnp.zeros((ep, e_local, cap, hidden), xq.dtype)
+            send_q = send_q.at[rank, local, safe_slot].set(xq[pair_t],
+                                                           mode='drop')
+            # invalid slots keep unit scales (x zero values -> contribute 0)
+            send_qsf = jnp.ones((ep, e_local, cap, ksf), jnp.float32)
+            send_qsf = send_qsf.at[rank, local, safe_slot].set(
+                xsf[pair_t], mode='drop')
+            gate_all, _ = fused_dispatch_gemm(send_q, w1, axis_name,
+                                              send_sf=send_qsf, w_sf=w1_sf)
+        else:
+            gate_all, _ = fused_dispatch_gemm(send_x, w1, axis_name)
         rw = jax.lax.all_to_all(send_w, axis_name, 0, 0, tiled=False)
         rows = ep * cap
         gate_up = gate_all.reshape(e_local, rows, 2 * cfg.intermediate)
         row_w = rw.transpose(1, 0, 2).reshape(e_local, rows)
         act = swiglu_apply_weight(gate_up, row_w).astype(jnp.bfloat16)
-        y_exp = _expert_gemm(act, w2, None, cfg, gemm_cfg=gemm_cfg2)
+        y_exp = _expert_gemm(act, w2, w2_sf, cfg, gemm_cfg=gemm_cfg2)
         back = y_exp.reshape(e_local, ep, cap, hidden).transpose(1, 0, 2, 3)
         y_slots = jax.lax.all_to_all(back, axis_name, 0, 0, tiled=False)
         y_pairs = y_slots[rank, local, safe_slot.clip(0, cap - 1)]

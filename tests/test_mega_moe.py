@@ -156,6 +156,33 @@ def test_mega_fused_comm():
     assert calc_diff(y_fused, y_ref) < 1e-5
 
 
+def test_mega_fused_comm_fp8():
+    """FP8 comm='fused': tokens quantize per-token pre-dispatch, SFs travel
+    with the RDMA slabs, scales apply via the in-kernel f32 promote. Matches
+    the dense local oracle to fp8 tolerance."""
+    mesh = make_mesh([('ep', 2)])
+    cfg = MoEConfig(num_experts=4, hidden=128, intermediate=128, topk=2,
+                    capacity_factor=8.0, use_fp8=True, use_kernels=True)
+    rng = np.random.RandomState(7)
+    t_total = 32 * 2
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg)
+    w1_q, w1_sf = _quant_w(w1)
+    w2_q, w2_sf = _quant_w(w2)
+
+    def fwd(x_l, idx_l, w_l, w1_l, s1, w2_l, s2):
+        return mega_moe_forward(x_l, idx_l, w_l, w1_l, s1, w2_l, s2,
+                                cfg, comm='fused')
+
+    y, dropped = shard_map(fwd, mesh=mesh, check_vma=False,
+                           in_specs=(P('ep'),) * 7,
+                           out_specs=(P('ep'), P('ep')))(
+                               x, topk_idx, topk_w, w1_q, w1_sf, w2_q, w2_sf)
+    assert int(jnp.sum(dropped)) == 0
+    ref = local_moe_reference(x, topk_idx, topk_w,
+                              _dequant(w1_q, w1_sf), _dequant(w2_q, w2_sf))
+    assert calc_diff(y, ref) < 2e-3
+
+
 def test_transform_weights_roundtrip():
     rng = np.random.RandomState(3)
     e, inter, h, g = 2, 256, 64, 8
