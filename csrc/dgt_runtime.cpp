@@ -197,6 +197,13 @@ int32_t dgt_paged_mqa_schedule(const int32_t* context_lens, int32_t batch,
     int32_t b = 0, s = 0;
     int32_t splits_b = batch > 0 ? (context_lens[0] + block_kv - 1) / block_kv : 0;
     for (int32_t u = 0; u < num_units; ++u) {
+        // Normalize past empty (zero-context) rows BEFORE emitting the start
+        // cursor, so a leading context_lens[0] == 0 row is never pointed into.
+        while (b < batch && s >= splits_b) {
+            s = 0; ++b;
+            splits_b = b < batch
+                ? (context_lens[b] + block_kv - 1) / block_kv : 0;
+        }
         out[2 * u] = b;
         out[2 * u + 1] = s;
         // advance the cursor by this unit's share

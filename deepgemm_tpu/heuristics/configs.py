@@ -114,9 +114,15 @@ def get_gemm_config(m: int, n: int, k: int,
         return min(k_full, max(fit // k_quantum * k_quantum, 0))
 
     fit = max_bk(block_m, block_n)
-    # Shrink bn then bm until at least one k quantum fits.
-    while fit < k_quantum and block_n > MXU_DIM and block_n % 2 == 0:
-        block_n //= 2
+    # Shrink bn then bm until at least one k quantum fits. bn must stay
+    # lane-legal: divisible by 128 (Mosaic rejects e.g. 3000 on real TPU even
+    # though interpret mode accepts it). A ragged whole-dim bn that doesn't
+    # fit falls back to a 128-aligned padded block first.
+    if fit < k_quantum and block_n % MXU_DIM != 0:
+        block_n = align(block_n, MXU_DIM)
+        fit = max_bk(block_m, block_n)
+    while fit < k_quantum and block_n > MXU_DIM:
+        block_n = max((block_n // 2) // MXU_DIM * MXU_DIM, MXU_DIM)
         fit = max_bk(block_m, block_n)
     while fit < k_quantum and block_m > _MIN_SUBLANES[a_bytes]:
         block_m //= 2

@@ -84,14 +84,35 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
     # then flows through the fp8/bf16 scaled path with unit scales at
     # (1, 128) granularity. In-kernel nibble decode is a future bandwidth
     # optimization; numerics are identical.
+    def _derive_fp4_gran(sf, k):
+        """Default FP4 scale granularity derived from the SF tensor's width:
+        gran = ceil(k / sf_width) snapped to a supported quantum. The library
+        quantizer defaults to gran_k=128 while SM100-style recipes use 32, so
+        a fixed default here disagrees with one of them (ADVICE r1); deriving
+        from the shape makes library-default quantization Just Work."""
+        cands = (128, 64, 32, 16)
+        if sf.dtype == jnp.int32:  # packed UE8M0: 4 exponents per int32
+            for g in cands:
+                if ceil_div(ceil_div(k, g), 4) == sf.shape[-1]:
+                    return g
+        else:
+            for g in cands:
+                if ceil_div(k, g) == sf.shape[-1]:
+                    return g
+        raise ValueError(
+            f'cannot derive FP4 scale granularity from SF width '
+            f'{sf.shape[-1]} at k={k}; pass recipe/recipe_a/recipe_b')
+
     def _fold_fp4(v, sf, sub_recipe, kmajor):
         assert kmajor, ('packed-FP4 operands must be k-major; repack T '
                         'layouts with transpose_packed_fp4 first')
         gran = (sub_recipe[1] if sub_recipe else
-                (recipe[-1] if recipe else 32))
+                (recipe[-1] if recipe else None))
         vals = _decode_packed_fp4(v)                     # [dim, k] bf16
         if sf is None:
             return vals
+        if gran is None:
+            gran = _derive_fp4_gran(sf, vals.shape[1])
         if sf.dtype == jnp.int32:
             from ..utils.math import unpack_ue8m0_from_int
             sf = unpack_ue8m0_from_int(sf)

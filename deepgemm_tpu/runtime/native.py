@@ -266,6 +266,11 @@ def paged_mqa_schedule(context_lens: np.ndarray, block_kv: int,
     cum = np.concatenate([[0], np.cumsum(splits)])
     done, b, s = 0, 0, 0
     for u in range(num_units):
+        # Normalize past empty (zero-context) rows before emitting the start
+        # cursor (mirrors the C++ fix for a leading context_lens[0] == 0 row).
+        while b < batch and s >= splits[b]:
+            s = 0
+            b += 1
         out[u] = (b, s)
         target = total * (u + 1) // num_units
         while done < target and b < batch:

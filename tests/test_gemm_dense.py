@@ -126,6 +126,23 @@ def test_fp8_fp4_gemm_nt():
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
 
 
+def test_fp8_fp4_gemm_default_gran_from_sf_shape():
+    """Quantizing with the library-default gran_k=128 and calling the GEMM
+    with NO recipe must work: the fold granularity is derived from the SF
+    width (ADVICE r1: quantizer default 128 vs GEMM default 32 disagreed)."""
+    rng = np.random.RandomState(13)
+    m, n, k = 64, 128, 256
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(n, k), jnp.bfloat16)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=True)
+    for gran in (128, 32):
+        bq, bsf = dg.per_token_cast_to_fp4(b, use_ue8m0=True, gran_k=gran)
+        d = dg.fp8_fp4_gemm_nt((aq, asf), (bq, bsf))     # no recipe at all
+        d2 = dg.fp8_fp4_gemm_nt((aq, asf), (bq, bsf),
+                                recipe_a=(1, 128), recipe_b=(1, gran))
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
+
+
 def test_fp8_fp4_gemm_planar_in_kernel():
     """Planar-128-packed FP4 B decoded IN-KERNEL must match the ops-layer
     decode path bit-for-bit at (1, 128) scales (both end in the exact f32

@@ -93,6 +93,26 @@ def test_paged_mqa_schedule_native_vs_python(monkeypatch):
         assert out_nat[-1, 0] == batch
 
 
+def test_paged_mqa_schedule_zero_context_rows(monkeypatch):
+    # Leading zero-context rows must not be pointed into by any start cursor
+    # (ADVICE r1: phantom segment + cursor into an empty row).
+    for lens in [[0, 512, 300], [0, 0, 256, 0, 1024], [0, 0, 0], [0, 256]]:
+        lens = np.asarray(lens, np.int32)
+        splits = -(-lens // 256)
+        out_nat, tot_nat = native.paged_mqa_schedule(lens, 256, 4)
+        _py_fallbacks(monkeypatch)
+        out_py, tot_py = native.paged_mqa_schedule(lens, 256, 4)
+        monkeypatch.undo()
+        assert tot_nat == tot_py == int(splits.sum())
+        np.testing.assert_array_equal(out_nat, out_py)
+        for b, s in out_nat[:-1]:
+            if b < lens.size:  # start cursors must land in non-empty rows
+                assert s < splits[b], (lens, out_nat)
+        # cursors monotone, all segments covered
+        flat = out_nat[:, 0].astype(np.int64) * (2 ** 20) + out_nat[:, 1]
+        assert np.all(np.diff(flat) >= 0)
+
+
 def test_cache_python_fallback(tmp_path, monkeypatch):
     _py_fallbacks(monkeypatch)
     d = str(tmp_path / 'pycache')
