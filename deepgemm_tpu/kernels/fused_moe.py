@@ -140,10 +140,10 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
                                axis_name=axis_name, scaled=scaled)
     interpret = pltpu.InterpretParams() if is_cpu_backend() else False
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]        # send slabs (HBM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]        # send slabs (HBM)
     inputs = [send_x]
     if scaled:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # send sf (HBM)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # send sf (HBM)
         inputs.append(send_sf)
     in_specs.append(pl.BlockSpec((1, block_n, hidden),
                                  lambda s, e, j: (e, j, 0),
@@ -159,7 +159,7 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
     out_specs = [
         pl.BlockSpec((1, 1, cap, block_n), lambda s, e, j: (e, s, 0, j),
                      memory_space=pltpu.VMEM),               # gemm out
-        pl.BlockSpec(memory_space=pltpu.ANY),                # recv pool (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),                # recv pool (HBM)
     ]
     out_shape = [
         jax.ShapeDtypeStruct((e_local, ep, cap, n), jnp.bfloat16),
@@ -172,7 +172,7 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
         pltpu.SemaphoreType.DMA((num_devices,)),
     ]
     if scaled:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))   # sf recv
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # sf recv
         out_shape.append(jax.ShapeDtypeStruct(send_sf.shape, send_sf.dtype))
         scratch.insert(1, pltpu.VMEM((cap, send_sf.shape[-1]), jnp.float32))
         scratch += [pltpu.SemaphoreType.DMA((num_devices,)),
@@ -193,6 +193,358 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
         interpret=interpret,
     )(*inputs)
     return res[0], res[1]
+
+
+def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
+                 e_local: int, nt1: int, nt2: int, bn1: int, bh2: int,
+                 gran_k: int = 128, clamp: float = 256.0):
+    """Fully-fused mega MoE kernel body: phases 1-3 of the reference kernel
+    (/root/reference/deep_gemm/include/deep_gemm/impls/sm100_fp8_fp4_mega_moe.cuh:
+    dispatch :432-877, SwiGLU/requant epilogue :938-1132, L2 :1144-1233,
+    combine push :1246-1384) in one Pallas program.
+
+    Grid (s, e, t): slab (processing step) s, local expert e, inner tile t.
+    t < nt1 runs paired gate/up L1 tiles + SwiGLU (+in-kernel FP8 requant);
+    t >= nt1 runs L2 output tiles from the VMEM act buffer; the last t of
+    each (s, e) RDMA-pushes the BF16 result slab back to its source rank's
+    combine buffer. Dispatch pushes launch at the first grid step; combine
+    pushes drain at the last — every transfer rides ICI under MXU work.
+    """
+    if scaled:
+        (send_ref, sfsend_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
+         combine_ref, recv_ref, sfrecv_ref, ystage_ref,
+         x_vmem, xsf_vmem, act_vmem, actsf_vmem, y_vmem,
+         copy_sem, send_sems, recv_sems, sf_send_sems, sf_recv_sems,
+         ysend_sems, yrecv_sems) = args
+    else:
+        (send_ref, rw_ref, w1_ref, w2_ref,
+         combine_ref, recv_ref, ystage_ref,
+         x_vmem, act_vmem, y_vmem,
+         copy_sem, send_sems, recv_sems, ysend_sems, yrecv_sems) = args
+    s = pl.program_id(0)
+    e = pl.program_id(1)
+    t = pl.program_id(2)
+    my = jax.lax.axis_index(axis_name)
+    nd = num_devices
+    t_last = nt1 + nt2 - 1
+
+    def _rdma(p, src_r, dst_r, ssems, rsems, offset=None):
+        dst = jax.lax.rem(my + p, nd)
+        slot = my if offset is None else offset
+        return pltpu.make_async_remote_copy(
+            src_ref=src_r.at[pl.ds(dst, 1)],
+            dst_ref=dst_r.at[pl.ds(slot, 1)],
+            send_sem=ssems.at[p],
+            recv_sem=rsems.at[p],
+            device_id=dst,
+            device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    @pl.when((s == 0) & (e == 0) & (t == 0))
+    def _():
+        # Dispatch: every peer push launches up front; all slabs ride ICI
+        # while slab 0 (our own tokens) computes.
+        for p in range(1, nd):
+            _rdma(p, send_ref, recv_ref, send_sems, recv_sems).start()
+            if scaled:
+                _rdma(p, sfsend_ref, sfrecv_ref, sf_send_sems,
+                      sf_recv_sems).start()
+        local = pltpu.make_async_copy(send_ref.at[pl.ds(my, 1)],
+                                      recv_ref.at[pl.ds(my, 1)], copy_sem)
+        local.start()
+        local.wait()
+        if scaled:
+            lsf = pltpu.make_async_copy(sfsend_ref.at[pl.ds(my, 1)],
+                                        sfrecv_ref.at[pl.ds(my, 1)], copy_sem)
+            lsf.start()
+            lsf.wait()
+
+    src = jax.lax.rem(my - s + nd, nd)
+
+    @pl.when((e == 0) & (t == 0) & (s > 0))
+    def _():
+        # First compute step of slab s: wait for its landing + our own
+        # offset-s push to drain.
+        _rdma(s, send_ref, recv_ref, send_sems, recv_sems, offset=src).wait()
+        if scaled:
+            _rdma(s, sfsend_ref, sfrecv_ref, sf_send_sems, sf_recv_sems,
+                  offset=src).wait()
+
+    @pl.when(t == 0)
+    def _():
+        # Stage expert e's token slab (cap, H) into VMEM once per (s, e).
+        stage = pltpu.make_async_copy(recv_ref.at[src, e], x_vmem, copy_sem)
+        stage.start()
+        stage.wait()
+        if scaled:
+            ssf = pltpu.make_async_copy(sfrecv_ref.at[src, e], xsf_vmem,
+                                        copy_sem)
+            ssf.start()
+            ssf.wait()
+
+    def _pdot(xq, wq, sfa_at, wsf):
+        # Exact f32 promote over gran_k sub-blocks — same term ordering as
+        # kernels/common.py:promote_block so results match the unfused
+        # masked-kernel path bitwise when block_k covers k. ``sfa_at(c)``
+        # yields the chunk's per-row (cap, 1) scale column.
+        total = None
+        for c in range(xq.shape[1] // gran_k):
+            p = jax.lax.dot_general(
+                xq[:, c * gran_k:(c + 1) * gran_k],
+                wq[:, c * gran_k:(c + 1) * gran_k],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            term = (p * wsf[c:c + 1, :]) * sfa_at(c)
+            total = term if total is None else total + term
+        return total
+
+    def _dot(xv, wv):
+        return jax.lax.dot_general(
+            xv, wv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(t < nt1)
+    def _l1():
+        # Paired gate/up tiles -> SwiGLU + topk weight (+FP8 requant):
+        # the epilogue the reference fuses at :938-1132.
+        col0 = jnp.minimum(t, nt1 - 1) * bn1
+        if scaled:
+            sfa_at = lambda c: xsf_vmem[:, c:c + 1]
+            gate = _pdot(x_vmem[:], w1_ref[0, 0], sfa_at, w1sf_ref[0, 0])
+            up = _pdot(x_vmem[:], w1_ref[0, 1], sfa_at, w1sf_ref[0, 1])
+        else:
+            gate = _dot(x_vmem[:], w1_ref[0, 0])
+            up = _dot(x_vmem[:], w1_ref[0, 1])
+        # Mirror the unfused dataflow bit-for-bit: the masked L1 kernel emits
+        # bf16, swiglu consumes it in f32 (parallel/moe.py:swiglu_apply_weight)
+        gate = gate.astype(jnp.bfloat16).astype(jnp.float32)
+        up = up.astype(jnp.bfloat16).astype(jnp.float32)
+        act = jnp.clip(jax.nn.silu(gate) * up, -clamp, clamp) * rw_ref[0, 0]
+        if scaled:
+            # In-kernel per-token (1, gran_k) FP8 requant — exact semantics of
+            # utils/math.py:per_token_cast_to_fp8 from bf16 values.
+            v = act.astype(jnp.bfloat16)
+            for c in range(bn1 // gran_k):
+                chunk = v[:, c * gran_k:(c + 1) * gran_k]
+                amax = jnp.clip(jnp.max(jnp.abs(chunk).astype(jnp.float32),
+                                        axis=1, keepdims=True), 1e-4, None)
+                sf = amax / 448.0
+                q = jnp.clip(chunk * (1.0 / sf),
+                             -448.0, 448.0).astype(jnp.float8_e4m3fn)
+                act_vmem[:, pl.ds(col0 + c * gran_k, gran_k)] = q
+                # act scales live with the k-step as the LEADING (untiled)
+                # dim: a dynamic lane-dim column store is Mosaic-illegal on
+                # real TPU (interpret mode accepts it — the known trap).
+                actsf_vmem[pl.ds(col0 // gran_k + c, 1)] = sf[None]
+        else:
+            act_vmem[:, pl.ds(col0, bn1)] = act.astype(jnp.bfloat16)
+
+    @pl.when(t >= nt1)
+    def _l2():
+        # L2 output tile from the full VMEM act buffer (:1144-1233).
+        j2 = jnp.clip(t - nt1, 0, nt2 - 1)
+        if scaled:
+            y = _pdot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
+                      w2sf_ref[0])
+        else:
+            y = _dot(act_vmem[:], w2_ref[0])
+        y_vmem[:, pl.ds(j2 * bh2, bh2)] = y.astype(jnp.bfloat16)
+
+    @pl.when(t == t_last)
+    def _push():
+        # Combine push (:1246-1384): stage the finished BF16 slab to HBM,
+        # then one-sided RDMA back to the source rank's combine buffer at
+        # slot [my, e] (sender-rank-indexed — the same layout the unfused
+        # path's reverse all-to-all produces). The push overlaps the next
+        # (s, e) step's MXU work; drained at the final grid step.
+        stage = pltpu.make_async_copy(y_vmem, ystage_ref.at[s, e], copy_sem)
+        stage.start()
+        stage.wait()
+
+        @pl.when(s == 0)
+        def _():
+            lc = pltpu.make_async_copy(ystage_ref.at[s, e],
+                                       combine_ref.at[my, e], copy_sem)
+            lc.start()
+            lc.wait()
+
+        @pl.when(s > 0)
+        def _():
+            idx = s * e_local + e
+            push = pltpu.make_async_remote_copy(
+                src_ref=ystage_ref.at[s, e],
+                dst_ref=combine_ref.at[my, e],
+                send_sem=ysend_sems.at[idx],
+                recv_sem=yrecv_sems.at[idx],
+                device_id=src,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            push.start()
+
+    @pl.when((s == nd - 1) & (e == e_local - 1) & (t == t_last))
+    def _drain():
+        # Final barrier: all our combine sends drained, all peers' results
+        # landed. Peer (my+step) processed our tokens at ITS slab step `step`,
+        # so its push targeted our yrecv[step * e_local + ee].
+        for step in range(1, nd):
+            peer = jax.lax.rem(my + step, nd)
+            for ee in range(e_local):
+                idx = step * e_local + ee
+                waiter = pltpu.make_async_remote_copy(
+                    src_ref=ystage_ref.at[step, ee],
+                    dst_ref=combine_ref.at[peer, ee],
+                    send_sem=ysend_sems.at[idx],
+                    recv_sem=yrecv_sems.at[idx],
+                    device_id=peer,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                waiter.wait()
+
+
+def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
+                   w1: jnp.ndarray, w2: jnp.ndarray,
+                   axis_name: str = 'ep', *,
+                   send_sf: jnp.ndarray = None,
+                   w1_sf: jnp.ndarray = None, w2_sf: jnp.ndarray = None,
+                   block_n: int = 256, block_h: int = 256,
+                   collective_id: int = 8, clamp: float = 256.0,
+                   gran_k: int = 128) -> jnp.ndarray:
+    """Fully-fused mega MoE forward (inside shard_map over ``axis_name``):
+    EP dispatch + L1 GEMM + SwiGLU/topk-weight (+FP8 requant) + L2 GEMM +
+    EP combine push, in ONE Pallas kernel — the TPU analog of the reference's
+    flagship fused kernel (sm100_fp8_fp4_mega_moe.cuh:51-1392).
+
+    send_x [D, E_local, cap, H]: slab d = tokens this rank routes to rank d
+    (bf16, or fp8 with per-token (1, gran_k) ``send_sf`` f32).
+    rw_steps [D, E_local, cap] f32: per-row topk weights in PROCESSING-STEP
+    order (step s = tokens from rank (my - s) mod D) — the caller permutes
+    the weight all-to-all result (the scalar sideband; the reference ships
+    these with the token payload).
+    w1 [E_local, 2I, H] gate-first concat; w2 [E_local, H, I]; FP8 weights
+    carry per-128x128-block SF (w1_sf/w2_sf).
+
+    Returns ``combine [D, E_local, cap, H]`` bf16 where ``combine[d, e]`` =
+    results computed by rank d for the tokens this rank sent to (d, e) —
+    exactly the layout of the unfused path's reverse all-to-all, so the
+    caller's pair gather + f32 scatter-add is unchanged (and bitwise-equal).
+    """
+    num_devices = int(jax.lax.psum(1, axis_name))
+    d_dim, e_local, cap, hidden = send_x.shape
+    assert d_dim == num_devices, (send_x.shape, num_devices)
+    two_i = w1.shape[1]
+    inter = two_i // 2
+    assert w1.shape == (e_local, two_i, hidden), (w1.shape,)
+    assert w2.shape == (e_local, hidden, inter), (w2.shape,)
+    scaled = send_sf is not None
+    bn1 = block_n if inter % block_n == 0 else inter
+    bh2 = block_h if hidden % block_h == 0 else hidden
+    if scaled:
+        assert hidden % gran_k == 0 and inter % gran_k == 0, (hidden, inter)
+        assert bn1 % gran_k == 0, bn1
+    nt1, nt2 = inter // bn1, hidden // bh2
+
+    w1r = w1.reshape(e_local, 2, inter, hidden)
+    rw4 = rw_steps.astype(jnp.float32).reshape(d_dim, e_local, cap, 1)
+
+    kernel = functools.partial(
+        _mega_kernel, num_devices=num_devices, axis_name=axis_name,
+        scaled=scaled, e_local=e_local, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
+        gran_k=gran_k, clamp=clamp)
+    interpret = pltpu.InterpretParams() if is_cpu_backend() else False
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]          # send (HBM)
+    inputs = [send_x]
+    if scaled:
+        # The SF slab rides its own RDMA: pad its last dim to the f32 lane
+        # tile (128) — Mosaic requires DMA slices lane-aligned on real TPU.
+        ksf1 = hidden // gran_k
+        ksf_pad = ((ksf1 + 127) // 128) * 128
+        send_sf = send_sf.astype(jnp.float32)
+        if send_sf.shape[-1] != ksf_pad:
+            send_sf = jnp.pad(send_sf, ((0, 0), (0, 0), (0, 0),
+                                        (0, ksf_pad - send_sf.shape[-1])))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # send sf (HBM)
+        inputs.append(send_sf)
+    in_specs.append(pl.BlockSpec((1, 1, cap, 1), lambda s, e, t: (s, e, 0, 0),
+                                 memory_space=pltpu.VMEM))     # row weights
+    inputs.append(rw4)
+    in_specs.append(pl.BlockSpec(
+        (1, 2, bn1, hidden),
+        lambda s, e, t: (e, 0, jnp.minimum(t, nt1 - 1), 0),
+        memory_space=pltpu.VMEM))                              # w1 gate/up pair
+    inputs.append(w1r)
+    if scaled:
+        ksf1 = hidden // gran_k
+        # per-block w1 SF -> per-row, k-first, gate/up-paired [E, 2, ksf1, I]
+        w1sf_rows = jnp.repeat(w1_sf.astype(jnp.float32), gran_k,
+                               axis=1)[:, :two_i]              # [E, 2I, ksf1]
+        w1sf_t = w1sf_rows.transpose(0, 2, 1) \
+            .reshape(e_local, ksf1, 2, inter).transpose(0, 2, 1, 3)
+        in_specs.append(pl.BlockSpec(
+            (1, 2, ksf1, bn1),
+            lambda s, e, t: (e, 0, 0, jnp.minimum(t, nt1 - 1)),
+            memory_space=pltpu.VMEM))
+        inputs.append(w1sf_t)
+    in_specs.append(pl.BlockSpec(
+        (1, bh2, inter),
+        lambda s, e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1), 0),
+        memory_space=pltpu.VMEM))                              # w2
+    inputs.append(w2)
+    if scaled:
+        ksf2 = inter // gran_k
+        w2sf_t = jnp.repeat(w2_sf.astype(jnp.float32), gran_k,
+                            axis=1)[:, :hidden].transpose(0, 2, 1)
+        in_specs.append(pl.BlockSpec(
+            (1, ksf2, bh2),
+            lambda s, e, t: (e, 0, jnp.clip(t - nt1, 0, nt2 - 1)),
+            memory_space=pltpu.VMEM))
+        inputs.append(w2sf_t)
+
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (4 if scaled else 3)
+    out_shape = [
+        jax.ShapeDtypeStruct((d_dim, e_local, cap, hidden), jnp.bfloat16),
+        jax.ShapeDtypeStruct(send_x.shape, send_x.dtype),      # recv pool
+    ]
+    if scaled:
+        out_shape.append(jax.ShapeDtypeStruct(send_sf.shape, jnp.float32))
+    out_shape.append(jax.ShapeDtypeStruct((d_dim, e_local, cap, hidden),
+                                          jnp.bfloat16))       # y staging
+    scratch = [
+        pltpu.VMEM((cap, hidden), send_x.dtype),               # x
+    ]
+    if scaled:
+        scratch.append(pltpu.VMEM((cap, send_sf.shape[-1]), jnp.float32))
+    scratch.append(pltpu.VMEM((cap, inter),
+                              jnp.float8_e4m3fn if scaled else jnp.bfloat16))
+    if scaled:
+        # k-step-leading act scales (see the in-kernel store comment)
+        scratch.append(pltpu.VMEM((inter // gran_k, cap, 1), jnp.float32))
+    scratch += [
+        pltpu.VMEM((cap, hidden), jnp.bfloat16),               # y
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((num_devices,)),
+        pltpu.SemaphoreType.DMA((num_devices,)),
+    ]
+    if scaled:
+        scratch += [pltpu.SemaphoreType.DMA((num_devices,)),
+                    pltpu.SemaphoreType.DMA((num_devices,))]
+    scratch += [pltpu.SemaphoreType.DMA((num_devices * e_local,)),
+                pltpu.SemaphoreType.DMA((num_devices * e_local,))]
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(num_devices, e_local, nt1 + nt2),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # At D=1 no remote DMA is emitted and Mosaic rejects a
+            # collective_id without a barrier.
+            collective_id=collective_id if num_devices > 1 else None,
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return res[0]
 
 
 def fused_dispatch_gemm(send_x: jnp.ndarray, w: jnp.ndarray,

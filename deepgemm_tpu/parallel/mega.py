@@ -230,13 +230,19 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     send_w = send_w.at[rank, local, safe_slot].set(pair_w, mode='drop')
 
     if comm == 'fused':
-        # In-kernel RDMA dispatch fused with the L1 GEMM (phase-1 analog of
-        # sm100_fp8_fp4_mega_moe.cuh): the remote slab DMAs overlap the MXU
-        # work on already-landed slabs inside one Pallas program. FP8 mode
-        # quantizes tokens per-token BEFORE dispatch and pushes the SF
-        # alongside (halved dispatch traffic — the mega kernel's fused-SF
-        # token payload).
-        from ..kernels.fused_moe import fused_dispatch_gemm
+        # The fully-fused mega kernel (kernels/fused_moe.py:fused_mega_moe):
+        # in-kernel RDMA dispatch + L1 GEMM + SwiGLU/topk-weight (+FP8
+        # requant) + L2 GEMM + RDMA combine push, one Pallas program — the
+        # TPU analog of the reference's flagship (sm100_fp8_fp4_mega_moe.cuh
+        # phases 1-3). FP8 mode quantizes tokens per-token BEFORE dispatch
+        # and pushes the SF alongside (halved dispatch traffic — the mega
+        # kernel's fused-SF token payload). Only the per-row topk weights
+        # ride a separate (tiny) all-to-all, permuted to the kernel's
+        # processing-step order.
+        from ..kernels.fused_moe import fused_mega_moe
+        my = jax.lax.axis_index(axis_name)
+        rw = jax.lax.all_to_all(send_w, axis_name, 0, 0, tiled=False)
+        rw_steps = jnp.take(rw, jnp.mod(my - jnp.arange(ep), ep), axis=0)
         if w1_sf is not None:
             from ..utils.math import per_token_cast_to_fp8
             xq, xsf = per_token_cast_to_fp8(x, use_ue8m0=False)
@@ -248,19 +254,15 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
             send_qsf = jnp.ones((ep, e_local, cap, ksf), jnp.float32)
             send_qsf = send_qsf.at[rank, local, safe_slot].set(
                 xsf[pair_t], mode='drop')
-            gate_all, _ = fused_dispatch_gemm(send_q, w1, axis_name,
-                                              send_sf=send_qsf, w_sf=w1_sf)
+            combine = fused_mega_moe(send_q, rw_steps, w1, w2, axis_name,
+                                     send_sf=send_qsf, w1_sf=w1_sf,
+                                     w2_sf=w2_sf)
         else:
-            gate_all, _ = fused_dispatch_gemm(send_x, w1, axis_name)
-        rw = jax.lax.all_to_all(send_w, axis_name, 0, 0, tiled=False)
-        rows = ep * cap
-        gate_up = gate_all.reshape(e_local, rows, 2 * cfg.intermediate)
-        row_w = rw.transpose(1, 0, 2).reshape(e_local, rows)
-        act = swiglu_apply_weight(gate_up, row_w).astype(jnp.bfloat16)
-        y_exp = _expert_gemm(act, w2, w2_sf, cfg, gemm_cfg=gemm_cfg2)
-        back = y_exp.reshape(e_local, ep, cap, hidden).transpose(1, 0, 2, 3)
-        y_slots = jax.lax.all_to_all(back, axis_name, 0, 0, tiled=False)
-        y_pairs = y_slots[rank, local, safe_slot.clip(0, cap - 1)]
+            combine = fused_mega_moe(send_x, rw_steps, w1, w2, axis_name)
+        # combine[d, e] = results from rank d — the exact layout of the
+        # unfused path's reverse all-to-all, so the same pair gather +
+        # f32 scatter-add applies (bitwise-equal combine reduction).
+        y_pairs = combine[rank, local, safe_slot.clip(0, cap - 1)]
         y_pairs = jnp.where(kept[:, None], y_pairs, 0)
         out = jnp.zeros((t_count, hidden), jnp.float32)
         out = out.at[pair_t].add(y_pairs.astype(jnp.float32))

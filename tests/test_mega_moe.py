@@ -126,16 +126,22 @@ def test_mega_pallas_comm_bitwise():
     assert_bitwise_equal(d_pallas, d_xla)
 
 
-def test_mega_fused_comm():
-    """comm='fused' (in-kernel RDMA dispatch + L1 GEMM) matches the unfused
-    baseline within f32-accumulation tolerance (full-k-depth L1 dot vs the
-    split-k masked kernel). 2-device submesh: the distributed interpreter is
-    one python thread per device on a 1-core CI box."""
-    mesh = make_mesh([('ep', 2)])
-    cfg = MoEConfig(num_experts=4, hidden=128, intermediate=128, topk=2,
-                    capacity_factor=8.0, use_fp8=False, use_kernels=True)
+@pytest.mark.parametrize('num_devices', [2, 4])
+def test_mega_fused_comm(num_devices):
+    """comm='fused' — the FULLY-fused mega kernel (in-kernel RDMA dispatch +
+    L1 GEMM + SwiGLU/topk-weight + L2 GEMM + RDMA combine push) must be
+    BITWISE-equal to the unfused baseline in BF16 mode: every arithmetic
+    step mirrors the unfused dataflow (bf16 L1 rounding, f32 swiglu, bf16
+    L2) and the combine layout/reduction order is identical — the analog of
+    the reference's fused-vs-unfused bitwise assertion
+    (/root/reference/tests/test_mega_moe.py:204-215). Small submeshes: the
+    distributed interpreter is one python thread per device on a 1-core box."""
+    mesh = make_mesh([('ep', num_devices)])
+    cfg = MoEConfig(num_experts=2 * num_devices, hidden=128, intermediate=128,
+                    topk=2, capacity_factor=8.0, use_fp8=False,
+                    use_kernels=True)
     rng = np.random.RandomState(6)
-    t_total = 32 * 2
+    t_total = 32 * num_devices
     x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg)
 
     def run(comm):
@@ -153,13 +159,16 @@ def test_mega_fused_comm():
     y_ref, d_ref = run(None)
     y_fused, d_fused = run('fused')
     assert_bitwise_equal(d_fused, d_ref)
-    assert calc_diff(y_fused, y_ref) < 1e-5
+    assert_bitwise_equal(y_fused, y_ref)
 
 
 def test_mega_fused_comm_fp8():
     """FP8 comm='fused': tokens quantize per-token pre-dispatch, SFs travel
-    with the RDMA slabs, scales apply via the in-kernel f32 promote. Matches
-    the dense local oracle to fp8 tolerance."""
+    with the RDMA slabs, the SwiGLU + per-token FP8 requant + L2 promote all
+    run in-kernel. Matches the unfused baseline to fp8 tolerance (not
+    bitwise: a 1-ulp f32 difference in the transcendental between the
+    kernel's and XLA's exp can shift a row's requant amax by one quantum)
+    and the dense local oracle to fp8 tolerance."""
     mesh = make_mesh([('ep', 2)])
     cfg = MoEConfig(num_experts=4, hidden=128, intermediate=128, topk=2,
                     capacity_factor=8.0, use_fp8=True, use_kernels=True)
@@ -169,15 +178,22 @@ def test_mega_fused_comm_fp8():
     w1_q, w1_sf = _quant_w(w1)
     w2_q, w2_sf = _quant_w(w2)
 
-    def fwd(x_l, idx_l, w_l, w1_l, s1, w2_l, s2):
-        return mega_moe_forward(x_l, idx_l, w_l, w1_l, s1, w2_l, s2,
-                                cfg, comm='fused')
-
-    y, dropped = shard_map(fwd, mesh=mesh, check_vma=False,
-                           in_specs=(P('ep'),) * 7,
-                           out_specs=(P('ep'), P('ep')))(
+    def run(comm):
+        def fwd(x_l, idx_l, w_l, w1_l, s1, w2_l, s2):
+            if comm is None:
+                return ep_moe_forward(x_l, idx_l, w_l, w1_l, s1, w2_l, s2,
+                                      cfg)
+            return mega_moe_forward(x_l, idx_l, w_l, w1_l, s1, w2_l, s2,
+                                    cfg, comm=comm)
+        return shard_map(fwd, mesh=mesh, check_vma=False,
+                         in_specs=(P('ep'),) * 7,
+                         out_specs=(P('ep'), P('ep')))(
                                x, topk_idx, topk_w, w1_q, w1_sf, w2_q, w2_sf)
+
+    y, dropped = run('fused')
+    y_unf, _ = run(None)
     assert int(jnp.sum(dropped)) == 0
+    assert calc_diff(y, y_unf) < 1e-4          # same quantized dataflow
     ref = local_moe_reference(x, topk_idx, topk_w,
                               _dequant(w1_q, w1_sf), _dequant(w2_q, w2_sf))
     assert calc_diff(y, ref) < 2e-3
