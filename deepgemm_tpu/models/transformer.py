@@ -41,6 +41,7 @@ class ModelConfig:
     use_kernels: bool = False      # Pallas kernels vs differentiable XLA
     use_mega: bool = False         # overlapped mega-MoE pipeline (inference)
     mega_chunks: int = 4           # dispatch/combine chunks in the pipeline
+    mega_comm: str = 'xla'         # 'xla' | 'pallas' (RDMA a2a) | 'fused'
     # FP8 TRAINING: attention projections through the differentiable fp8
     # matmul (custom VJP: fp8 fwd/dgrad, FP32-accumulate wgrad)
     use_fp8_training: bool = False
@@ -145,12 +146,21 @@ def moe_block(x, layer, cfg: ModelConfig, mesh: Optional[Mesh]):
     moe_cfg = cfg.moe_cfg()
 
     def fwd(tok, idx, ww, w1, w2):
+        w1_sf = w2_sf = None
+        if moe_cfg.use_fp8 and moe_cfg.use_kernels:
+            # FP8 serving path: per-expert 128x128-block weight quantization
+            # feeding the scaled grouped kernels. (A serving stack would
+            # pre-quantize once; doing it in-graph keeps this module pure.)
+            w1, w1_sf = jax.vmap(
+                functools.partial(per_block_cast_to_fp8, use_ue8m0=False))(w1)
+            w2, w2_sf = jax.vmap(
+                functools.partial(per_block_cast_to_fp8, use_ue8m0=False))(w2)
         if cfg.use_mega:
-            y, _ = mega_moe_forward(tok, idx, ww, w1, None, w2, None, moe_cfg,
-                                    num_chunks=cfg.mega_chunks,
-                                    axis_name='ep')
+            y, _ = mega_moe_forward(tok, idx, ww, w1, w1_sf, w2, w2_sf,
+                                    moe_cfg, num_chunks=cfg.mega_chunks,
+                                    axis_name='ep', comm=cfg.mega_comm)
         else:
-            y, _ = ep_moe_forward(tok, idx, ww, w1, None, w2, None, moe_cfg,
+            y, _ = ep_moe_forward(tok, idx, ww, w1, w1_sf, w2, w2_sf, moe_cfg,
                                   axis_name='ep')
         return y
 
