@@ -148,10 +148,20 @@ def mqa_logits(q: jnp.ndarray, kv: jnp.ndarray, weights: jnp.ndarray,
                ks: jnp.ndarray, ke: jnp.ndarray,
                kv_sf: Optional[jnp.ndarray] = None,
                max_seqlen_k: int = 0,
-               logits_dtype=jnp.float32) -> jnp.ndarray:
+               logits_dtype=jnp.float32,
+               compressed_ks_aligned: Optional[bool] = None) -> jnp.ndarray:
     """q [sq, h, d] fp8/bf16; kv [skv, d] fp8/bf16 (+ per-token kv_sf [skv]);
     weights [sq, h] f32/bf16; ks/ke int32 [sq]. Returns [sq, seq_len_kv]
-    logits with -inf outside [ks, ke), or compressed [sq, max_seqlen_k]."""
+    logits with -inf outside [ks, ke), or compressed [sq, max_seqlen_k].
+
+    Compressed mode with arbitrary per-row ``ks`` (the reference allows any,
+    /root/reference/csrc/apis/attention.hpp:160-178): the tile-shifted fast
+    kernel is exact only when ks is tile-constant and block_kv-aligned
+    (ks == 0 and CP-chunked layouts). With concrete ``ks`` that condition is
+    checked here and ragged layouts fall back to a full-layout kernel pass +
+    an XLA per-row gather (correct for ANY ks, ~skv/max_seqlen_k more
+    compute). Traced ``ks`` defaults to the safe fallback; pass
+    ``compressed_ks_aligned=True`` under jit to assert the fast-path layout."""
     sq, h, d = q.shape
     skv = kv.shape[0]
     compressed = max_seqlen_k > 0
@@ -169,6 +179,27 @@ def mqa_logits(q: jnp.ndarray, kv: jnp.ndarray, weights: jnp.ndarray,
         bkv = 256
     else:
         bkv = 128
+
+    if compressed:
+        aligned = compressed_ks_aligned
+        if aligned is None and not isinstance(ks, jax.core.Tracer):
+            import numpy as np
+            ks_np = np.asarray(ks).astype(np.int64)
+            gq_ = ceil_div(sq, bq)
+            kp = np.pad(ks_np, (0, gq_ * bq - sq), mode='edge').reshape(gq_, bq)
+            aligned = bool(np.all(kp == kp[:, :1]) and
+                           np.all(kp[:, 0] % bkv == 0))
+        if not aligned:
+            # Ragged per-row ks: full-layout kernel pass, then the exact
+            # per-row gather into the compressed coordinate system.
+            full = mqa_logits(q, kv, weights, ks, ke, kv_sf=kv_sf,
+                              max_seqlen_k=0, logits_dtype=logits_dtype)
+            cols = ks.astype(jnp.int32)[:, None] + \
+                jnp.arange(max_seqlen_k, dtype=jnp.int32)[None, :]
+            valid = cols < ke.astype(jnp.int32)[:, None]
+            vals = jnp.take_along_axis(full, jnp.clip(cols, 0, skv - 1),
+                                       axis=1)
+            return jnp.where(valid, vals, jnp.zeros((), full.dtype))
 
     spec = MQALogitsSpec(
         seq_len=sq, seq_len_kv=skv, num_heads=h, head_dim=d,

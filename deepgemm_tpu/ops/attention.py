@@ -11,12 +11,28 @@
 
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..kernels.mqa_logits import mqa_logits
-from ..utils.math import ceil_div, unpack_ue8m0_from_int
+from ..utils.math import cast_back_from_fp4, ceil_div, unpack_ue8m0_from_int
 from .gemm import _split_pair
+
+
+def _decode_fp4_rows(packed: jnp.ndarray, sf: jnp.ndarray,
+                     head_dim: int) -> jnp.ndarray:
+    """Exact decode of packed e2m1 rows [..., d/2] with per-32 UE8M0 SF into
+    bf16 [..., d]: every e2m1 magnitude times a power-of-two scale is exactly
+    representable in bf16, so the fold is lossless — the TPU analog of the
+    reference's in-kernel FP4 pipeline (impls/sm100_mqa_logits.cuh), which on
+    v5e is VPU-bound in-kernel (see kernels/dense.py planar decode notes)."""
+    lead = packed.shape[:-1]
+    flat = packed.reshape(-1, packed.shape[-1])
+    sf_flat = sf.reshape(flat.shape[0], -1)
+    out = cast_back_from_fp4(flat, sf_flat, gran_k=32,
+                             use_packed_ue8m0=(sf.dtype == jnp.int32))
+    return out.astype(jnp.bfloat16).reshape(*lead, head_dim)
 
 
 def fp8_fp4_mqa_logits(q, kv, weights, cu_seq_len_k_start, cu_seq_len_k_end,
@@ -26,11 +42,21 @@ def fp8_fp4_mqa_logits(q, kv, weights, cu_seq_len_k_start, cu_seq_len_k_end,
     family): ``logits[i, j] = sum_h w[i,h] * relu(q[i,h,:] . kv[j,:])`` for
     ``j in [ks[i], ke[i])``; -inf elsewhere (the fused clean). With
     ``max_seqlen_k > 0`` returns the compressed [sq, max_seqlen_k] layout
-    where row i starts at its own ks."""
+    where row i starts at its own ks.
+
+    FP4 mode (/root/reference/tests/test_attention.py:170-180 contract):
+    ``q = (packed e2m1 [sq, h, d//2] int8, per-32 packed-UE8M0 SF [sq, h])``
+    and ``kv = (packed [skv, d//2], SF [skv])``; both decode exactly into
+    bf16 before the MXU pass."""
     q_val, q_sf = _split_pair(q)
     kv_val, kv_sf = _split_pair(kv)
-    if q_val.dtype == jnp.int8 or (q_sf is not None and q_val.dtype != jnp.float8_e4m3fn):
-        raise NotImplementedError('FP4 MQA logits lands with the FP4 kernel family')
+    if q_val.dtype in (jnp.int8, jnp.uint8):
+        assert q_sf is not None, 'packed FP4 q requires its per-32 SF'
+        head_dim = 2 * q_val.shape[-1]
+        q_val = _decode_fp4_rows(q_val, q_sf, head_dim)
+        if kv_val.dtype in (jnp.int8, jnp.uint8):
+            kv_val = _decode_fp4_rows(kv_val, kv_sf, head_dim)
+            kv_sf = None
     del clean_logits  # range cleaning is fused into the kernel
     return mqa_logits(q_val, kv_val, weights,
                       cu_seq_len_k_start, cu_seq_len_k_end,
@@ -75,6 +101,41 @@ def get_paged_mqa_logits_metadata(context_lens: jnp.ndarray, block_kv: int,
     return context_lens.astype(jnp.int32)
 
 
+def split_fused_kv_cache_fp4(fused_kv_cache: jnp.ndarray, head_dim: int):
+    """Split the FP4 fused byte cache [num_blocks, block_kv, 1, head_dim//2+4]
+    (packed e2m1 nibbles then a packed-UE8M0 int32 of per-32 scales per token,
+    /root/reference/tests/test_attention.py:307-316) into
+    (packed int8 [nb, bkv, d//2], packed SF int32 [nb, bkv])."""
+    nb = fused_kv_cache.shape[0]
+    bkv = fused_kv_cache.shape[1]
+    half = head_dim // 2
+    flat = fused_kv_cache.reshape(nb, -1)
+    assert flat.shape[1] == bkv * (half + 4), flat.shape
+    values = jax.lax.bitcast_convert_type(
+        flat[:, :bkv * half].reshape(nb, bkv, half), jnp.int8)
+    sf = jax.lax.bitcast_convert_type(
+        flat[:, bkv * half:].reshape(nb, bkv, 4), jnp.int32)
+    return values, sf
+
+
+def _varlen_group(indices) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Host-side varlen token pairing: group flat query rows by sequence id.
+    The TPU analog of the reference's pairing scheduler
+    (/root/reference/deep_gemm/include/deep_gemm/scheduler/sm100_paged_mqa_logits.cuh),
+    which pairs same-sequence tokens so they share one KV stream; here a
+    sequence's tokens become one batch row of a 2D-context-lens kernel call,
+    so its KV pages stream exactly once for all of its tokens."""
+    idx = np.asarray(indices)
+    assert idx.ndim == 1, idx.shape
+    raw_batch = int(idx.max()) + 1 if idx.size else 0
+    order = np.argsort(idx, kind='stable')
+    pos = np.empty(idx.shape[0], np.int64)
+    rank_sorted = np.arange(idx.shape[0]) - np.searchsorted(idx[order], idx[order])
+    pos[order] = rank_sorted
+    t_max = int(np.bincount(idx, minlength=max(raw_batch, 1)).max()) if idx.size else 0
+    return idx.astype(np.int64), pos, raw_batch, t_max
+
+
 def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
                              block_table, schedule_meta=None,
                              max_context_len: int = 0,
@@ -83,21 +144,69 @@ def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
                              strategy: str = 'gather'):
     """Decode-side paged indexer scoring
     (/root/reference/csrc/apis/attention.hpp:233-402). ``fused_kv_cache`` may
-    be the reference byte layout or a pre-split ``(values, sf)`` pair (the
-    zero-copy production path on TPU)."""
+    be the reference byte layout (FP8 ``d+4`` or FP4 ``d//2+4`` per token) or
+    a pre-split ``(values, sf)`` pair (the zero-copy production path on TPU).
+
+    FP4 mode: ``q = (packed e2m1 [b, nn, h, d//2], per-32 packed-UE8M0 SF
+    [b, nn, h])``; both q and the cache decode exactly into bf16.
+
+    Varlen mode (``indices`` [batch] = sequence id per flat query row,
+    next_n == 1, /root/reference/csrc/apis/attention.hpp:347-391): rows of
+    the same sequence are grouped into one kernel batch row so the
+    sequence's KV pages stream once — the reference's token-pairing
+    scheduler expressed as a host-side regrouping. ``indices`` must be a
+    concrete (host) array: the grouping determines array shapes."""
     from ..kernels.paged_mqa import paged_mqa_logits
 
     q_val, q_sf = _split_pair(q)
-    if q_sf is not None:
-        raise NotImplementedError('FP4 paged MQA logits lands with the FP4 kernel family')
-    if indices is not None:
-        raise NotImplementedError('sparse `indices` gathering is not implemented yet')
+    b, nn, h, dq = q_val.shape
+    is_fp4_q = q_val.dtype in (jnp.int8, jnp.uint8)
+    d = 2 * dq if is_fp4_q else dq
+    if is_fp4_q:
+        assert q_sf is not None, 'packed FP4 q requires its per-32 SF'
+        q_val = _decode_fp4_rows(q_val, q_sf, d)
     del clean_logits, schedule_meta
-    b, nn, h, d = q_val.shape
+
     if isinstance(fused_kv_cache, (tuple, list)):
         kv_cache, kv_sf = fused_kv_cache
+        if kv_cache.dtype in (jnp.int8, jnp.uint8) and \
+                kv_cache.shape[-1] == d // 2:
+            kv_cache = _decode_fp4_rows(kv_cache, kv_sf, d)
+            kv_sf = jnp.ones(kv_cache.shape[:2], jnp.float32)
     else:
-        kv_cache, kv_sf = split_fused_kv_cache(fused_kv_cache, d)
+        per_token = fused_kv_cache.shape[-1]
+        if per_token == d // 2 + 4:                       # FP4 byte layout
+            packed, sf = split_fused_kv_cache_fp4(fused_kv_cache, d)
+            kv_cache = _decode_fp4_rows(packed, sf, d)
+            kv_sf = jnp.ones(kv_cache.shape[:2], jnp.float32)
+        else:
+            kv_cache, kv_sf = split_fused_kv_cache(fused_kv_cache, d)
+
+    if indices is not None:
+        assert nn == 1, 'varlen requires next_n == 1 (reference contract)'
+        if isinstance(indices, jax.core.Tracer):
+            raise ValueError(
+                'varlen `indices` must be a concrete host array: the '
+                'sequence grouping determines kernel shapes (the reference '
+                'builds its pairing schedule outside the kernel too)')
+        idx, pos, raw_batch, t_max = _varlen_group(indices)
+        assert idx.shape[0] == b, (idx.shape, b)
+        # first flat row of each sequence carries its block-table row
+        first_row = np.zeros(raw_batch, np.int64)
+        first_row[idx[::-1]] = np.arange(b - 1, -1, -1)
+        q_pad = jnp.zeros((raw_batch, t_max, h, d), q_val.dtype)
+        q_pad = q_pad.at[idx, pos].set(q_val[:, 0])
+        w_pad = jnp.zeros((raw_batch * t_max, h), weights.dtype)
+        w_pad = w_pad.at[idx * t_max + pos].set(weights)
+        ctx2d = jnp.zeros((raw_batch, t_max), jnp.int32)
+        ctx2d = ctx2d.at[idx, pos].set(
+            context_lens.astype(jnp.int32).reshape(-1))
+        bt_seq = block_table[first_row]
+        out = paged_mqa_logits(q_pad, kv_cache, kv_sf, w_pad, ctx2d,
+                               bt_seq, max_context_len,
+                               logits_dtype=logits_dtype, strategy=strategy)
+        return out[idx * t_max + pos]
+
     return paged_mqa_logits(q_val, kv_cache, kv_sf, weights, context_lens,
                             block_table, max_context_len,
                             logits_dtype=logits_dtype, strategy=strategy)

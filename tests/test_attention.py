@@ -251,3 +251,162 @@ def test_paged_strategies_bitwise():
     b = dg.fp8_fp4_paged_mqa_logits((q, None), (kvv, kvs), w, ctx, bt,
                                     max_context_len=max_ctx, strategy="gather")
     assert_bitwise_equal(b, a)
+
+
+def test_fp4_mqa_logits():
+    """FP4 q/kv prefill (per-32 packed-UE8M0 SF) — the SM100 FP4 family
+    (/root/reference/tests/test_attention.py:170-180): exact decode into
+    bf16, checked against the simulated (cast-back) oracle."""
+    rng = np.random.RandomState(11)
+    sq, skv, h, d = 64, 256, 4, 128
+    q = jnp.asarray(rng.randn(sq, h, d), dtype=jnp.bfloat16)
+    kv = jnp.asarray(rng.randn(skv, d), dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.randn(sq, h).astype(np.float32))
+    ks, ke = make_ranges(sq, skv, True)
+
+    q_fp4, q_sf = dg.per_token_cast_to_fp4(q.reshape(-1, d), use_ue8m0=True,
+                                           gran_k=32, use_packed_ue8m0=True)
+    kv_fp4, kv_sf4 = dg.per_token_cast_to_fp4(kv, use_ue8m0=True,
+                                              gran_k=32, use_packed_ue8m0=True)
+    q_sim = dg.cast_back_from_fp4(q_fp4, q_sf, gran_k=32,
+                                  use_packed_ue8m0=True).reshape(sq, h, d)
+    kv_sim = dg.cast_back_from_fp4(kv_fp4, kv_sf4, gran_k=32,
+                                   use_packed_ue8m0=True)
+
+    logits = dg.fp8_fp4_mqa_logits(
+        (q_fp4.reshape(sq, h, d // 2), q_sf.reshape(sq, h)),
+        (kv_fp4, kv_sf4), w, jnp.asarray(ks), jnp.asarray(ke))
+    ref = ref_mqa_logits(jnp.asarray(q_sim, jnp.bfloat16),
+                         jnp.asarray(kv_sim, jnp.bfloat16), w, ks, ke)
+    mask = ~np.isneginf(ref)
+    np.testing.assert_array_equal(np.isneginf(np.asarray(logits)), ~mask)
+    assert calc_diff(np.where(mask, np.asarray(logits), 0),
+                     np.where(mask, ref, 0)) < 1e-5
+
+
+def test_mqa_logits_compressed_ragged_ks():
+    """Compressed layout with ARBITRARY per-row ks (the reference allows any,
+    csrc/apis/attention.hpp:160-178): the ragged layout routes through the
+    full-pass + per-row-gather fallback and must equal the full layout's
+    [ks_i, ke_i) slice exactly, with zeros past ke-ks."""
+    rng = np.random.RandomState(12)
+    sq, skv, h, d = 64, 512, 4, 64
+    q = jnp.asarray(rng.randn(sq, h, d), dtype=jnp.bfloat16)
+    kv = jnp.asarray(rng.randn(skv, d), dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.randn(sq, h).astype(np.float32))
+    ks = rng.randint(0, skv // 2, size=sq).astype(np.int32)   # ragged!
+    ke = ks + rng.randint(1, skv // 2, size=sq).astype(np.int32)
+    maxk = int((ke - ks).max())
+
+    q_fp8, kv_fp8, kv_sf = quantize_inputs(q, kv)
+    logits = dg.fp8_fp4_mqa_logits((q_fp8, None), (kv_fp8, kv_sf), w,
+                                   jnp.asarray(ks), jnp.asarray(ke),
+                                   max_seqlen_k=maxk)
+    full = dg.fp8_fp4_mqa_logits((q_fp8, None), (kv_fp8, kv_sf), w,
+                                 jnp.asarray(ks), jnp.asarray(ke))
+    l_np, f_np = np.asarray(logits), np.asarray(full)
+    assert l_np.shape == (sq, maxk)
+    for i in range(sq):
+        lo, hi = int(ks[i]), int(ke[i])
+        np.testing.assert_array_equal(l_np[i, :hi - lo], f_np[i, lo:hi])
+        np.testing.assert_array_equal(l_np[i, hi - lo:], 0.0)
+
+
+def make_fused_kv_cache_fp4(rng, num_blocks, block_kv, d):
+    """Reference FP4 fused byte cache (tests/test_attention.py:307-316):
+    packed e2m1 nibbles + a packed-UE8M0 int32 of per-32 scales per token."""
+    kv = jnp.asarray(rng.randn(num_blocks * block_kv, d), jnp.bfloat16)
+    packed, sf = dg.per_token_cast_to_fp4(kv, use_ue8m0=True, gran_k=32,
+                                          use_packed_ue8m0=True)
+    kv_deq = np.asarray(dg.cast_back_from_fp4(
+        packed, sf, gran_k=32, use_packed_ue8m0=True)).reshape(
+        num_blocks, block_kv, d)
+    fused = np.empty((num_blocks, block_kv * (d // 2 + 4)), np.uint8)
+    fused[:, :block_kv * (d // 2)] = \
+        np.asarray(packed).reshape(num_blocks, -1).view(np.uint8)
+    fused[:, block_kv * (d // 2):] = \
+        np.asarray(sf).reshape(num_blocks, -1).view(np.uint8)
+    return fused.reshape(num_blocks, block_kv, 1, d // 2 + 4), kv_deq
+
+
+def test_paged_mqa_logits_fp4():
+    """FP4 q + FP4 fused byte cache paged decode (SM100 family,
+    /root/reference/tests/test_attention.py:307-316,400-420)."""
+    rng = np.random.RandomState(13)
+    B, next_n, h, d = 3, 1, 4, 128
+    block_kv, blocks_per_seq = 64, 3
+    max_model_len = block_kv * blocks_per_seq
+    num_blocks = B * blocks_per_seq
+
+    fused, kv_deq = make_fused_kv_cache_fp4(rng, num_blocks, block_kv, d)
+    block_table = np.arange(num_blocks, dtype=np.int32).reshape(B, -1)
+    context_lens = rng.randint(2, max_model_len, size=B).astype(np.int32)
+
+    q = jnp.asarray(rng.randn(B * next_n * h, d), jnp.bfloat16)
+    q_fp4, q_sf = dg.per_token_cast_to_fp4(q, use_ue8m0=True, gran_k=32,
+                                           use_packed_ue8m0=True)
+    q_sim = np.asarray(dg.cast_back_from_fp4(
+        q_fp4, q_sf, gran_k=32, use_packed_ue8m0=True)).reshape(B, next_n, h, d)
+    w = jnp.asarray(rng.randn(B * next_n, h).astype(np.float32))
+
+    logits = dg.fp8_fp4_paged_mqa_logits(
+        (q_fp4.reshape(B, next_n, h, d // 2), q_sf.reshape(B, next_n, h)),
+        jnp.asarray(fused), w, jnp.asarray(context_lens),
+        jnp.asarray(block_table), None, max_model_len)
+    l_np = np.asarray(logits)
+    for i in range(B):
+        ctx = int(context_lens[i])
+        kv_seq = kv_deq[block_table[i]].reshape(-1, d)
+        scores = np.maximum(q_sim[i, 0] @ kv_seq.T, 0)
+        vals_row = (np.asarray(w)[i][:, None] * scores).sum(0)
+        cols = np.arange(max_model_len)
+        mask = (cols < ctx) & (cols < ctx - next_n + 1)
+        np.testing.assert_array_equal(np.isneginf(l_np[i]), ~mask)
+        assert calc_diff(np.where(mask, l_np[i], 0),
+                         np.where(mask, vals_row, 0)) < 1e-5
+
+
+def test_paged_mqa_logits_varlen():
+    """Varlen `indices` decode (/root/reference/csrc/apis/attention.hpp:347-391,
+    tests/test_attention.py:321-382): flat rows of the same sequence share
+    one KV stream via the host-side pairing regroup; results must match the
+    per-row oracle with per-token context lengths."""
+    rng = np.random.RandomState(14)
+    raw_B, h, d = 3, 4, 64
+    block_kv, blocks_per_seq = 64, 3
+    max_model_len = block_kv * blocks_per_seq
+    num_blocks = raw_B * blocks_per_seq
+
+    fused, vals, sf, kv_deq = make_fused_kv_cache(rng, num_blocks, block_kv, d)
+    bt_raw = rng.permutation(num_blocks).reshape(raw_B, -1).astype(np.int32)
+    tokens_per_seq = rng.randint(1, 4, size=raw_B)
+    ctx_base = rng.randint(8, max_model_len - 4, size=raw_B).astype(np.int32)
+
+    indices = np.repeat(np.arange(raw_B, dtype=np.int32), tokens_per_seq)
+    offsets = np.concatenate([np.arange(t, dtype=np.int32)
+                              for t in tokens_per_seq])
+    context_lens = ctx_base[indices] + offsets        # per flat row
+    block_table = bt_raw[indices]                     # interleaved copies
+    B_flat = int(tokens_per_seq.sum())
+
+    q = jnp.asarray(rng.randn(B_flat, 1, h, d), jnp.bfloat16)
+    q_fp8 = jnp.clip(q.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    w = jnp.asarray(rng.randn(B_flat, h).astype(np.float32))
+
+    logits = dg.fp8_fp4_paged_mqa_logits(
+        (q_fp8, None), jnp.asarray(fused), w,
+        jnp.asarray(context_lens.reshape(B_flat, 1)),
+        jnp.asarray(block_table), None, max_model_len,
+        indices=indices)
+    assert logits.shape == (B_flat, max_model_len)
+    l_np = np.asarray(logits)
+    q_np = np.asarray(q_fp8).astype(np.float32)
+    for r in range(B_flat):
+        ctx = int(context_lens[r])
+        kv_seq = kv_deq[block_table[r]].reshape(-1, d)
+        scores = np.maximum(q_np[r, 0] @ kv_seq.T, 0)
+        vals_row = (np.asarray(w)[r][:, None] * scores).sum(0)
+        mask = np.arange(max_model_len) < ctx
+        np.testing.assert_array_equal(np.isneginf(l_np[r]), ~mask)
+        assert calc_diff(np.where(mask, l_np[r], 0),
+                         np.where(mask, vals_row, 0)) < 1e-5, r
