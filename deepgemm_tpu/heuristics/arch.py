@@ -1,0 +1,79 @@
+"""Per-TPU-generation architecture specs.
+
+The analog of the reference's per-arch ``ArchSpec`` tier
+(/root/reference/csrc/jit_kernels/heuristics/common.hpp:13-52, sm90.hpp,
+sm100.hpp): instead of SM counts / smem stages / cluster shapes, a TPU
+generation is described by its VMEM budget, MXU geometry, matmul rates and
+HBM bandwidth. ``detect_arch()`` resolves the running chip from
+``jax.devices()[0].device_kind`` so heuristics stop silently inheriting
+v5e-measured constants on other generations (round-1 weakness #8).
+
+Public-spec sources: Google Cloud TPU system-architecture documentation
+(per-chip peak TFLOPS / HBM BW / VMEM). The v5e row's budget and overhead
+constants are MEASURED in this repo (see configs.py notes); other rows scale
+the published ratios and keep the measured Mosaic bookkeeping margin.
+"""
+
+import dataclasses
+import functools
+from typing import Dict
+
+MiB = 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchSpec:
+    name: str
+    # Usable VMEM per core for kernel working sets. Real VMEM is larger;
+    # Mosaic's own bookkeeping needs headroom (~16 MiB real on v5e, 12.5
+    # usable — measured, see configs.VMEM_BUDGET history).
+    vmem_budget: int
+    mxu_dim: int                   # systolic array edge (lane constraint: 128)
+    bf16_tflops: float             # peak dense bf16 matmul
+    hbm_gbps: float
+    # fp8 e4m3 operands feed the MXU at ~bf16 rate on gens with int8/fp8
+    # datapaths (measured on v5e); older gens upcast (halved rate).
+    fp8_direct: bool
+    # Per-grid-step pipeline overhead (seconds) — calibrated on v5e from the
+    # bk=512 -> 4096 sweep at 4096^3 (160 -> 176 TFLOPS over 448 extra steps).
+    step_overhead_s: float = 175e-9
+    # Min sublane tile per operand byte-width (Mosaic packing rules;
+    # identical across current generations).
+    min_sublanes: Dict[int, int] = dataclasses.field(
+        default_factory=lambda: {1: 32, 2: 16, 4: 8})
+
+
+_ARCHS = {
+    'v4': ArchSpec(name='v4', vmem_budget=12 * MiB + 512 * 1024, mxu_dim=128,
+                   bf16_tflops=275.0, hbm_gbps=1228.0, fp8_direct=False),
+    'v5e': ArchSpec(name='v5e', vmem_budget=12 * MiB + 512 * 1024,
+                    mxu_dim=128, bf16_tflops=197.0, hbm_gbps=819.0,
+                    fp8_direct=True),
+    'v5p': ArchSpec(name='v5p', vmem_budget=12 * MiB + 512 * 1024,
+                    mxu_dim=128, bf16_tflops=459.0, hbm_gbps=2765.0,
+                    fp8_direct=False),
+    'v6e': ArchSpec(name='v6e', vmem_budget=24 * MiB, mxu_dim=256,
+                    bf16_tflops=918.0, hbm_gbps=1640.0, fp8_direct=True),
+}
+# Unknown chips (incl. the CPU interpret backend) fall back to the v5e row —
+# the generation every constant in this repo was measured on.
+_DEFAULT = 'v5e'
+
+
+def get_arch(name: str) -> ArchSpec:
+    return _ARCHS.get(name, _ARCHS[_DEFAULT])
+
+
+@functools.lru_cache(maxsize=1)
+def detect_arch() -> ArchSpec:
+    """Resolve the running TPU generation (cached; CPU -> v5e constants)."""
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return _ARCHS[_DEFAULT]
+    for key in ('v6e', 'v6', 'v5p', 'v5e', 'v5litepod', 'v4'):
+        if key in kind:
+            return _ARCHS.get({'v6': 'v6e', 'v5litepod': 'v5e'}.get(key, key),
+                              _ARCHS[_DEFAULT])
+    return _ARCHS[_DEFAULT]

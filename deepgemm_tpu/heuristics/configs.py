@@ -60,86 +60,113 @@ def _pick_block(dim: int, preferred: int, quantum: int) -> int:
     return preferred
 
 
+def _equal_split_bk(k_full: int, fit: int, k_quantum: int) -> int:
+    """Fewest EQUAL k steps that fit — a non-dividing bk leaves a ragged
+    (masked) final step that wrecks the pipeline (measured 110 vs 176 TFLOPS
+    at 4096^3 with bk=3072)."""
+    if fit >= k_full:
+        return k_full
+    steps = ceil_div(k_full, fit)
+    block_k = align(ceil_div(k_full, steps), k_quantum)
+    while block_k > fit:
+        steps += 1
+        block_k = align(ceil_div(k_full, steps), k_quantum)
+    return block_k
+
+
 def get_gemm_config(m: int, n: int, k: int,
                     a_dtype, b_dtype, out_dtype,
                     gran_k: int = 128,
                     num_groups: int = 1,
                     is_grouped_m: bool = False,
                     mk_alignment: int = 128,
-                    scale_strategy: Optional[str] = None) -> GemmConfig:
-    """Pick Pallas tile sizes for a (possibly grouped) NT GEMM.
+                    scale_strategy: Optional[str] = None,
+                    arch=None) -> GemmConfig:
+    """Pick Pallas tile sizes for a (possibly grouped) NT GEMM by candidate
+    enumeration + lexicographic scoring — the TPU analog of the reference's
+    layout search (/root/reference/csrc/jit_kernels/heuristics/common.hpp:13-52
+    enumerate, sm100.hpp:241-266 lexicographic comparator). Per-generation
+    constants come from :mod:`deepgemm_tpu.heuristics.arch`.
 
-    Follows the reference heuristic intent (larger tiles for larger problems,
-    block_m pinned to the contiguous-group alignment for m-grouped layouts —
-    csrc/jit_kernels/heuristics/sm90.hpp:31-34) re-targeted at MXU/VMEM.
-    Tile defaults are tuned on TPU v5e: 512x1024 for BF16, 512x512 for the
-    scaled paths (the promote epilogue adds VPU pressure).
+    Scoring (v5e-measured; all at G8-scale 8192x4096x7168 fp8 promote unless
+    noted):
+      1. least padded FLOPs (tail utilization — ref `get_num_waves` analog);
+      2. [scaled paths] fewest k steps: a SINGLE full-depth k block dominates
+         everything else — (256, 512, 7168) = 175.7 TFLOPS vs the 2-step
+         (256, 1024, 3584) = 161.3, because each extra k step re-reads and
+         re-writes the f32 accumulator;
+      3. widest block_n that satisfies 1-2 (A-operand re-reads scale with
+         n / block_n): 4096^3 keeps (256, 1024, 4096) at 176.3;
+      4. tallest block_m up to 256 ((256,512,7168) 175.7 > (128,.) 172.9 >
+         (384,.) 171.7; 512 regressed).
+    BF16 / dequant paths keep the round-1 bn-first order (the single-step
+    preference was measured on the promote epilogue only).
     """
+    from .arch import detect_arch
+    arch = arch or detect_arch()
     a_bytes, b_bytes = _dtype_bytes(a_dtype), _dtype_bytes(b_dtype)
     out_bytes = _dtype_bytes(out_dtype)
     is_scaled = scale_strategy is not None
-
-    # Tile policy (swept on v5e at 4096^3): the k block should be as DEEP as
-    # VMEM affords — each grid k-step re-reads/writes the f32 accumulator, so
-    # fewer, deeper steps win (promote fp8: 160 TFLOPS at bk=512 -> 176 at
-    # bk=4096 with (bm, bn) = (256, 1024)). Priority: bk >> bn > bm.
-    if is_grouped_m:
-        # Each m-tile must lie entirely inside one group: pin block_m to the
-        # group start alignment (or a divisor of it).
-        block_m = min(mk_alignment, 512)
-    else:
-        block_m = _pick_block(m, 256, _MIN_SUBLANES[_dtype_bytes(a_dtype)])
-
-    # Lane-dim (n) blocks want multiples of the MXU width; ragged n keeps the
-    # whole dim (Mosaic lane rule: divisible by 128 or whole).
-    n_pref = 1024
-    if n % MXU_DIM == 0:
-        block_n = _pick_block(n, n_pref, MXU_DIM)
-    else:
-        block_n = n
+    min_sub = arch.min_sublanes[a_bytes]
+    budget = arch.vmem_budget
 
     # k blocks are multiples of the scale granularity so each in-kernel
     # promotion step covers whole scale blocks.
     k_quantum = max(gran_k, MXU_DIM) if gran_k >= MXU_DIM else MXU_DIM
     k_full = align(k, k_quantum)
 
-    def working_set(bm, bn, bk):
-        return (bm * bk * a_bytes + bn * bk * b_bytes) * 2 \
-            + bm * bn * 4 + bm * bn * out_bytes * 2
-
     def max_bk(bm, bn):
         fixed = bm * bn * 4 + bm * bn * out_bytes * 2
         per_k = (bm * a_bytes + bn * b_bytes) * 2
-        fit = (VMEM_BUDGET - fixed) // per_k if VMEM_BUDGET > fixed else 0
+        fit = (budget - fixed) // per_k if budget > fixed else 0
         return min(k_full, max(fit // k_quantum * k_quantum, 0))
 
-    fit = max_bk(block_m, block_n)
-    # Shrink bn then bm until at least one k quantum fits. bn must stay
-    # lane-legal: divisible by 128 (Mosaic rejects e.g. 3000 on real TPU even
-    # though interpret mode accepts it). A ragged whole-dim bn that doesn't
-    # fit falls back to a 128-aligned padded block first.
-    if fit < k_quantum and block_n % MXU_DIM != 0:
-        block_n = align(block_n, MXU_DIM)
-        fit = max_bk(block_m, block_n)
-    while fit < k_quantum and block_n > MXU_DIM:
-        block_n = max((block_n // 2) // MXU_DIM * MXU_DIM, MXU_DIM)
-        fit = max_bk(block_m, block_n)
-    while fit < k_quantum and block_m > _MIN_SUBLANES[a_bytes]:
-        block_m //= 2
-        fit = max_bk(block_m, block_n)
-    fit = max(fit, k_quantum)
-
-    # Balance the k steps: a non-dividing bk leaves a ragged (masked) final
-    # step that wrecks the pipeline (measured 110 vs 176 TFLOPS at 4096^3
-    # with bk=3072). Pick the fewest equal steps that fit.
-    if fit >= k_full:
-        block_k = k_full
+    # --- candidate enumeration -------------------------------------------
+    if is_grouped_m:
+        # Each m-tile must lie entirely inside one group: pin block_m to the
+        # group start alignment (or a divisor of it).
+        bm_cands = [min(mk_alignment, 512)]
     else:
-        steps = ceil_div(k_full, fit)
-        block_k = align(ceil_div(k_full, steps), k_quantum)
-        while block_k > fit:
-            steps += 1
-            block_k = align(ceil_div(k_full, steps), k_quantum)
+        cap = align(m, min_sub)
+        bm_cands = sorted({min(c, cap) for c in (256, 128, 64, min_sub)},
+                          reverse=True)
+    if n % MXU_DIM == 0:
+        bn_cands = [c for c in (1024, 512, 256, MXU_DIM)
+                    if c <= align(n, MXU_DIM)] or [MXU_DIM]
+    else:
+        # Ragged n: whole dim (Mosaic lane rule) or a 128-aligned padded
+        # block; the aligned fallbacks keep VMEM-constrained cases legal.
+        bn_cands = [n] + [c for c in (1024, 512, 256, MXU_DIM)
+                          if c <= align(n, MXU_DIM)]
+
+    cands = []
+    for bm in bm_cands:
+        for bn in bn_cands:
+            fit = max_bk(bm, bn)
+            if fit < k_quantum:
+                continue
+            bk = _equal_split_bk(k_full, fit, k_quantum)
+            cands.append((bm, bn, bk))
+    if not cands:
+        # Nothing fits even shallow: smallest tile, one k quantum.
+        cands = [(min(bm_cands), MXU_DIM, k_quantum)]
+
+    def score(c):
+        bm, bn, bk = c
+        gm, gn, gk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k_full, bk)
+        # Tail utilization in coarse 12.5% buckets (ref `get_num_waves` /
+        # last-wave-util analog): a few percent of padding must not override
+        # the step-count and block-width terms.
+        waste = (gm * bm) * (gn * bn) / float(m * n) - 1.0
+        waste_bucket = int(waste * 8)
+        if is_scaled:
+            # bm before bn: (256,256,8192) measured 180.8 vs (128,512,8192)
+            # peers and (256,1024,4096) at 177.0 on the 4096x7168x8192 wgrad
+            # shape; (256,512,7168) 175.7 > (128,512,7168) 172.9.
+            return (waste_bucket, gk, -bm, -bn)
+        return (waste_bucket, -bn, gk, -bm)
+
+    block_m, block_n, block_k = min(cands, key=score)
 
     if scale_strategy is None:
         scale_strategy = 'promote'

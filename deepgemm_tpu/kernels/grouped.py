@@ -237,7 +237,17 @@ def compute_tile_gids(grouped_layout: jnp.ndarray, num_groups: int, m: int,
         ids = grouped_layout.astype(jnp.int32)            # [m] per-row group ids
         tile_ids = ids[starts]
         gids = jnp.maximum(tile_ids, 0)                   # -1 padding -> any valid B
-        row_ends = jnp.full((num_tiles,), m, dtype=jnp.int32)
+        # Real end row of each group (scatter-max over valid rows), so the
+        # zero-padding epilogue can blank id==-1 rows — the reference
+        # zero-fills them (/root/reference/deep_gemm/legacy/m_grouped_gemm.py:36-41).
+        # Tiles never straddle groups (block_m divides the alignment), so a
+        # per-tile end row suffices; all-padding tiles clamp to a group whose
+        # end precedes them and zero entirely.
+        idxs = jnp.arange(m, dtype=jnp.int32)
+        contrib = jnp.where(ids >= 0, idxs + 1, 0)
+        ends_real = jnp.zeros((num_groups,), jnp.int32) \
+            .at[jnp.maximum(ids, 0)].max(contrib)
+        row_ends = ends_real[gids]
     return gids, row_ends
 
 
@@ -254,16 +264,44 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
 
     mk_alignment = runtime().mk_alignment
     if cfg is None:
+        # block_m is pinned to the group-start alignment so m-tiles never
+        # straddle groups — but taller tiles are worth real TFLOPS (G8
+        # 8192x4096x7168 fp8: bm 128 = 161.3, bm 256 = 171.0 measured). When
+        # the layout is host-concrete, lift the effective alignment to the
+        # gcd of the actual group start offsets (<= 256), the adaptive-
+        # block_m analog of the reference's runtime heuristic
+        # (/root/reference/csrc/jit_kernels/heuristics/runtime.hpp:47-57).
+        bm_align = mk_alignment
+        if not isinstance(grouped_layout, jax.core.Tracer):
+            import math as _math
+            import numpy as _np
+            lay = _np.asarray(grouped_layout).astype(_np.int64)
+            if use_psum_layout:
+                prev = _np.concatenate([[0], lay[:-1]])
+                starts = (prev + mk_alignment - 1) \
+                    // mk_alignment * mk_alignment
+            else:
+                starts = _np.asarray(
+                    [int(_np.nonzero(lay == g)[0][0])
+                     for g in range(num_groups) if (lay == g).any()],
+                    _np.int64)
+            g = 0
+            for s in starts:
+                g = _math.gcd(g, int(s))
+            if g == 0:                      # single group starting at 0
+                g = align(m, mk_alignment)
+            if g % mk_alignment == 0:
+                bm_align = max(mk_alignment, min(256, g))
         cfg = get_gemm_config(m, n, k, a.dtype, b.dtype, out_dtype,
                               gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
                               num_groups=num_groups, is_grouped_m=True,
-                              mk_alignment=mk_alignment)
+                              mk_alignment=bm_align)
     spec = GroupedGemmSpec(
         kind='contiguous', num_groups=num_groups, m=m, n=n, k=k,
         b_kmajor=b_kmajor, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
         out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b,
-        zero_padded_rows=ensure_zero_padding and use_psum_layout, cfg=cfg)
+        zero_padded_rows=ensure_zero_padding, cfg=cfg)
     fn = kernel_cache().get_or_build(spec, lambda: _build_contiguous(spec))
 
     gids, row_ends = compute_tile_gids(grouped_layout, num_groups, m,

@@ -22,6 +22,7 @@ import dataclasses
 import math
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -181,14 +182,48 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     is_scaled = sfa_t is not None
     k_alignment = runtime().mk_alignment
 
-    # block_k must divide every group start: group starts are multiples of
-    # the k alignment, so use the largest 32-multiple divisor of it.
-    bk = k_alignment
-    assert total_k % bk == 0, (total_k, bk)
     # lane-dim blocks must be 128-divisible or cover the whole dim (Mosaic)
     bm = min(256, m) if m % 128 == 0 else m
     bn = min(256, n) if n % 128 == 0 else n
     nsf_total = sfa_t.shape[0] if is_scaled else 0
+
+    # block_k must divide every group START (so no k-tile straddles a group
+    # boundary; inter-group padding rows are zero by the layout contract).
+    # Group starts are multiples of the k alignment, so bk = alignment is
+    # always safe — but the measured deep-k rule (heuristics/configs.py:
+    # bk 512 -> 4096 is worth 160 -> 176 TFLOPS) says shallow k steps are
+    # the wgrad kernel's round-1 perf sin. When the layout is host-concrete
+    # (ks_cpu or an untraced grouped_layout), deepen bk to the largest
+    # VMEM-fitting divisor of gcd(group starts, total_k).
+    bk = k_alignment
+    layout_np = None
+    if ks_cpu is not None:
+        layout_np = np.asarray(ks_cpu)
+    elif not isinstance(grouped_layout, jax.core.Tracer):
+        lay = np.asarray(grouped_layout).astype(np.int64)
+        layout_np = (lay if not use_psum_layout else
+                     np.diff(np.concatenate([[0], lay])))
+    if layout_np is not None:
+        sizes = np.asarray(layout_np, np.int64)
+        padded = (sizes + k_alignment - 1) // k_alignment * k_alignment
+        starts = np.cumsum(np.concatenate([[0], padded[:-1]]))
+        g = int(total_k)
+        for s in starts[1:]:
+            g = math.gcd(g, int(s))
+        a_b = jnp.dtype(a.dtype).itemsize
+        b_b = jnp.dtype(b.dtype).itemsize
+        budget = 11 * 1024 * 1024   # headroom under the 12.5 MiB ceiling
+        fixed = bm * bn * 4 * 3 + nsf_total * (bm + bn) * 4
+        per_k = (bm * a_b + bn * b_b) * 2
+        fit = max((budget - fixed) // per_k, k_alignment)
+        best = k_alignment
+        cand = k_alignment
+        while cand <= min(fit, g):
+            if g % cand == 0:
+                best = cand
+            cand += k_alignment
+        bk = best
+    assert total_k % bk == 0, (total_k, bk)
 
     spec = KGroupedGemmSpec(
         num_groups=num_groups, m=m, n=n, total_k=total_k,

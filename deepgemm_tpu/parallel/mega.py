@@ -185,7 +185,7 @@ def _chunk_bounds(cap: int, num_chunks: int):
 def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
                      topk_weights: jnp.ndarray,
                      w1, w1_sf, w2, w2_sf,
-                     cfg: MoEConfig, *, num_chunks: int = 4,
+                     cfg: MoEConfig, *, num_chunks: Optional[int] = 4,
                      axis_name: str = 'ep',
                      gemm_cfg1: Optional[GemmConfig] = None,
                      gemm_cfg2: Optional[GemmConfig] = None,
@@ -216,6 +216,13 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
     e_local = cfg.num_experts // ep
 
     cap = moe_capacity(t_count, k, cfg.num_experts, cfg.capacity_factor)
+    if num_chunks is None:
+        # Pipeline-granularity policy (heuristics/mega.py — the analog of
+        # the reference's mega-MoE config search, mega_moe.hpp:100-285).
+        from ..heuristics.mega import get_mega_moe_config
+        num_chunks = get_mega_moe_config(
+            t_count, hidden, cfg.intermediate, cfg.num_experts, int(ep), k,
+            cap, use_fp8=w1_sf is not None).num_chunks
     rank, local, slot, kept, num_dropped = dispatch_indices(
         topk_idx, cfg.num_experts, e_local, cap)
     pair_t = jnp.repeat(jnp.arange(t_count, dtype=jnp.int32), k)

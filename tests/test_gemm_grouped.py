@@ -84,3 +84,22 @@ def test_m_grouped_masked(num_groups, max_m, expected_m, use_fp8):
         mg = int(m_np[g])
         diff = calc_diff(d[g, :mg], ref_d[g, :mg])
         assert diff < tol, f'{g=}, {mg=}, {diff=}'
+
+
+def test_m_grouped_contiguous_ids_zero_padding():
+    """ids-layout padding rows (id == -1) must come out exactly zero with
+    ensure_zero_padding — the reference zero-fills them
+    (/root/reference/deep_gemm/legacy/m_grouped_gemm.py:36-41). Round-1 gap:
+    the flag was silently ignored for the ids layout."""
+    num_groups, n, k = 3, 256, 256
+    m, a, b, layout, ref_d = generate_m_grouped_contiguous(
+        num_groups, 200, n, k, use_fp8=True, use_psum_layout=False)
+    ids = np.asarray(layout)
+    d = dg.m_grouped_fp8_gemm_nt_contiguous(a, b, grouped_layout=layout,
+                                            use_psum_layout=False,
+                                            ensure_zero_padding=True)
+    d_np = np.asarray(d, np.float32)
+    pad_rows = ids < 0
+    assert pad_rows.any(), 'fixture produced no padding rows'
+    assert not d_np[pad_rows].any(), 'id=-1 rows must be zero'
+    assert calc_diff(d_np[~pad_rows], np.asarray(ref_d, np.float32)[~pad_rows]) < 1e-3

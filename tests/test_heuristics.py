@@ -61,3 +61,64 @@ def test_pyi_generator_output_parses(tmp_path):
     generate_pyi.main(out)
     with open(out) as f:
         ast.parse(f.read())
+
+
+def test_config_search_single_k_step_rule():
+    """The v5e-measured dominant rule: prefer ONE full-depth k block, paying
+    for it with a narrower block_n — (256,512,7168) measured 175.7 TFLOPS vs
+    the 2-step (256,1024,3584) at 161.3 on 8192x4096x7168 fp8."""
+    c = get_gemm_config(8192, 4096, 7168, jnp.float8_e4m3fn,
+                        jnp.float8_e4m3fn, jnp.bfloat16,
+                        scale_strategy='promote')
+    assert (c.block_m, c.block_n, c.block_k) == (256, 512, 7168)
+    # grouped stays alignment-pinned in m but inherits the deep-k rule
+    g = get_gemm_config(8192, 4096, 7168, jnp.float8_e4m3fn,
+                        jnp.float8_e4m3fn, jnp.bfloat16,
+                        num_groups=8, is_grouped_m=True, mk_alignment=128,
+                        scale_strategy='promote')
+    assert (g.block_m, g.block_n, g.block_k) == (128, 512, 7168)
+
+
+def test_config_search_per_arch():
+    """Per-generation specs (round-1 weakness: v5e constants silently
+    inherited everywhere): a bigger-VMEM generation affords deeper single
+    blocks; every generation yields lane-legal configs."""
+    from deepgemm_tpu.heuristics.arch import get_arch, detect_arch
+    for gen in ('v4', 'v5e', 'v5p', 'v6e'):
+        arch = get_arch(gen)
+        c = get_gemm_config(8192, 4096, 7168, jnp.float8_e4m3fn,
+                            jnp.float8_e4m3fn, jnp.bfloat16,
+                            scale_strategy='promote', arch=arch)
+        _assert_lane_legal(c, 4096)
+        assert c.block_k % 128 == 0
+    v6 = get_gemm_config(8192, 4096, 7168, jnp.float8_e4m3fn,
+                         jnp.float8_e4m3fn, jnp.bfloat16,
+                         scale_strategy='promote', arch=get_arch('v6e'))
+    v5 = get_gemm_config(8192, 4096, 7168, jnp.float8_e4m3fn,
+                         jnp.float8_e4m3fn, jnp.bfloat16,
+                         scale_strategy='promote', arch=get_arch('v5e'))
+    # v6e's 24 MiB budget keeps the wide 1024 block AND the single k step
+    assert v6.block_k == 7168 and v6.block_n >= v5.block_n
+    assert detect_arch().name in ('v4', 'v5e', 'v5p', 'v6e')
+
+
+def test_mega_moe_heuristics():
+    """Chunk policy (analog of mega_moe.hpp:100-285): communication-light
+    regimes don't chunk; ICI-heavy regimes chunk up to the cap; chunks never
+    shrink below the minimum row granularity."""
+    from deepgemm_tpu.heuristics.mega import get_mega_moe_config
+    # Huge experts, few ranks -> compute dominates -> few chunks
+    small = get_mega_moe_config(num_tokens_per_rank=128, hidden=7168,
+                                intermediate=2048, num_experts=8,
+                                num_ranks=2, topk=2, capacity=64)
+    # Many ranks, thin experts -> comm-heavy -> more chunks
+    big = get_mega_moe_config(num_tokens_per_rank=4096, hidden=7168,
+                              intermediate=256, num_experts=256,
+                              num_ranks=64, topk=8, capacity=512)
+    assert 1 <= small.num_chunks <= big.num_chunks <= 8
+    assert big.chunk_rows * big.num_chunks >= 512
+    assert small.expected_m == 32
+    tiny = get_mega_moe_config(num_tokens_per_rank=16, hidden=128,
+                               intermediate=128, num_experts=4,
+                               num_ranks=2, topk=2, capacity=16)
+    assert tiny.num_chunks == 1    # chunks can't go below _MIN_CHUNK_ROWS
