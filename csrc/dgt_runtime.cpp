@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <vector>
 
 #include <dirent.h>
 #include <fcntl.h>
@@ -137,12 +138,20 @@ int64_t dgt_cache_get(const char* cache_dir, const char* name,
 void dgt_tile_gids_from_ids(const int32_t* ids, int64_t m, int64_t block_m,
                             int32_t num_groups,
                             int32_t* gids, int32_t* row_ends) {
-    (void)num_groups;
+    // Real end row of each group (last row with that id, +1), so the
+    // zero-padding epilogue can blank id == -1 rows — mirrors the device
+    // scatter-max in kernels/grouped.py:compute_tile_gids.
+    std::vector<int32_t> ends_real(num_groups > 0 ? num_groups : 1, 0);
+    for (int64_t r = 0; r < m; ++r) {
+        int32_t id = ids[r];
+        if (id >= 0 && id < num_groups)
+            ends_real[id] = static_cast<int32_t>(r + 1);
+    }
     int64_t num_tiles = (m + block_m - 1) / block_m;
     for (int64_t t = 0; t < num_tiles; ++t) {
         int32_t id = ids[t * block_m];
         gids[t] = id < 0 ? 0 : id;
-        row_ends[t] = static_cast<int32_t>(m);
+        row_ends[t] = ends_real[gids[t]];
     }
 }
 

@@ -16,6 +16,7 @@ runtime/native.py; this module documents them and provides the same
 | ``DGT_MK_ALIGNMENT``      | contiguous-layout group start alignment     | mk_alignment_for_contiguous_layout |
 | ``DGT_IGNORE_COMPILE_DIMS`` | drop static-dim specialization hints      | ``DG_JIT_IGNORE_COMPILE_DIMS`` |
 | ``DGT_PRINT_CONFIGS``     | print chosen kernel configs once per spec   | ``DG_PRINT_CONFIGS`` |
+| ``DGT_DEBUG``             | full dump tier: spec + grid + VMEM estimate | ``DG_JIT_DEBUG`` |
 | ``DGT_SCALE_STRATEGY``    | force 'promote' / 'dequant' FP8 scaling     | (recipe/arch dispatch) |
 | ``DGT_TEST_PLATFORM``     | tests: 'cpu' (virtual mesh) or 'tpu'        | (CI matrix) |
 """
@@ -34,6 +35,6 @@ def describe() -> dict:
     """Current values of every DGT_* variable (None = unset)."""
     names = ['DGT_JIT_CACHE_DIR', 'DGT_NATIVE_CACHE_DIR', 'DGT_CXX',
              'DGT_DISABLE_NATIVE', 'DGT_NUM_CORES', 'DGT_MK_ALIGNMENT',
-             'DGT_IGNORE_COMPILE_DIMS', 'DGT_PRINT_CONFIGS',
+             'DGT_IGNORE_COMPILE_DIMS', 'DGT_PRINT_CONFIGS', 'DGT_DEBUG',
              'DGT_SCALE_STRATEGY', 'DGT_TEST_PLATFORM']
     return {n: os.environ.get(n) for n in names}

@@ -92,13 +92,21 @@ def split_fused_kv_cache(fused_kv_cache: jnp.ndarray, head_dim: int):
 
 def get_paged_mqa_logits_metadata(context_lens: jnp.ndarray, block_kv: int,
                                   num_sms: int) -> jnp.ndarray:
-    """API-parity shim for the reference's SM load-balancing metadata kernel
-    (/root/reference/deep_gemm/include/deep_gemm/scheduler/sm90_paged_mqa_logits.cuh:10-100).
-    On TPU the Pallas grid is scheduled by the hardware/Mosaic, so no
-    schedule tensor is needed; the context lengths pass through as the
-    opaque schedule handle."""
-    del block_kv, num_sms
-    return context_lens.astype(jnp.int32)
+    """Balanced (batch, kv-split) work schedule — parity with the reference's
+    metadata kernel ([num_sms+1, 2] int32 cursors,
+    /root/reference/deep_gemm/include/deep_gemm/scheduler/sm90_paged_mqa_logits.cuh:10-100),
+    computed by the native C++ scheduler (csrc/dgt_runtime.cpp:
+    dgt_paged_mqa_schedule). On TPU the Pallas grid is hardware-scheduled,
+    so the schedule's role shifts: the decode op consumes the total active
+    split count to size its kv tile for skewed context lengths (see
+    ``fp8_fp4_paged_mqa_logits``). Traced lens pass through unscheduled."""
+    if isinstance(context_lens, jax.core.Tracer):
+        return context_lens.astype(jnp.int32)
+    from ..runtime import native
+    num_units = max(int(num_sms) if num_sms else 8, 1)
+    lens = np.asarray(context_lens, np.int32).reshape(-1)
+    out, _total = native.paged_mqa_schedule(lens, int(block_kv), num_units)
+    return jnp.asarray(out, jnp.int32)
 
 
 def split_fused_kv_cache_fp4(fused_kv_cache: jnp.ndarray, head_dim: int):
@@ -167,6 +175,25 @@ def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
         q_val = _decode_fp4_rows(q_val, q_sf, d)
     del clean_logits, schedule_meta
 
+    # Skew-aware kv tiling: with host-concrete context lengths, size tile_kv
+    # so that padding waste (inactive grid-step block fetches past each
+    # row's context) stays bounded — the TPU use of the native scheduler's
+    # active-split accounting (results are bitwise-identical across tile
+    # widths; this is purely a bandwidth knob).
+    tile_kv = 1024
+    if not isinstance(context_lens, jax.core.Tracer):
+        from ..runtime import native
+        lens = np.asarray(context_lens, np.int32).reshape(-1)
+        if lens.size and lens.max() > 0:
+            for cand in (1024, 512, 256, 128):
+                _, total = native.paged_mqa_schedule(lens, cand, 1)
+                padded = total * cand
+                if padded <= 1.3 * int(lens.sum()):
+                    tile_kv = cand
+                    break
+            else:
+                tile_kv = 128
+
     if isinstance(fused_kv_cache, (tuple, list)):
         kv_cache, kv_sf = fused_kv_cache
         if kv_cache.dtype in (jnp.int8, jnp.uint8) and \
@@ -204,12 +231,14 @@ def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
         bt_seq = block_table[first_row]
         out = paged_mqa_logits(q_pad, kv_cache, kv_sf, w_pad, ctx2d,
                                bt_seq, max_context_len,
-                               logits_dtype=logits_dtype, strategy=strategy)
+                               logits_dtype=logits_dtype, strategy=strategy,
+                               tile_kv=tile_kv)
         return out[idx * t_max + pos]
 
     return paged_mqa_logits(q_val, kv_cache, kv_sf, weights, context_lens,
                             block_table, max_context_len,
-                            logits_dtype=logits_dtype, strategy=strategy)
+                            logits_dtype=logits_dtype, strategy=strategy,
+                            tile_kv=tile_kv)
 
 
 def fp8_paged_mqa_logits(q, fused_kv_cache, weights, context_lens, block_table,

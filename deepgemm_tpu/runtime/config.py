@@ -41,6 +41,10 @@ class _Runtime:
         self.ignore_compile_dims: bool = get_bool_env('DGT_IGNORE_COMPILE_DIMS')
         # Debug printing of chosen kernel configs (analog of DG_PRINT_CONFIGS)
         self.print_configs: bool = get_bool_env('DGT_PRINT_CONFIGS')
+        # Full debug dump tier (analog of DG_JIT_DEBUG,
+        # /root/reference/README.md:159-185): spec + derived grid shape +
+        # VMEM working-set estimate on every kernel build.
+        self.debug: bool = get_bool_env('DGT_DEBUG')
         # Force the FP8 scale-application strategy ('promote' | 'dequant');
         # default None = auto (dequant only for provably power-of-two scales).
         self.force_scale_strategy: Optional[str] = get_env('DGT_SCALE_STRATEGY', None)
@@ -57,9 +61,43 @@ class _Runtime:
         self._num_cores = value
 
     def maybe_print_config(self, spec, config):
-        if self.print_configs and spec not in self._printed_specs:
-            self._printed_specs.add(spec)
-            print(f'[deepgemm_tpu] spec={spec} -> config={config}')
+        if not (self.print_configs or self.debug):
+            return
+        if spec in self._printed_specs:
+            return
+        self._printed_specs.add(spec)
+        line = f'[deepgemm_tpu] spec={spec} -> config={config}'
+        if self.debug:
+            line += _debug_details(spec, config)
+        print(line)
+
+
+def _debug_details(spec, config) -> str:
+    """Best-effort grid shape + VMEM working-set estimate for the DGT_DEBUG
+    dump tier (what DG_JIT_DEBUG's compile-time prints expose on GPU)."""
+    if config is None or not hasattr(config, 'block_m'):
+        return ''
+    try:
+        import jax.numpy as jnp
+        bm, bn, bk = config.block_m, config.block_n, config.block_k
+        m = getattr(spec, 'm', None)
+        n = getattr(spec, 'n', None)
+        k = getattr(spec, 'k', getattr(spec, 'total_k', None))
+        a_b = jnp.dtype(getattr(spec, 'a_dtype', 'bfloat16')).itemsize
+        b_b = jnp.dtype(getattr(spec, 'b_dtype', 'bfloat16')).itemsize
+        o_b = jnp.dtype(getattr(spec, 'out_dtype', 'bfloat16')).itemsize
+        vmem = (bm * bk * a_b + bn * bk * b_b) * 2 \
+            + bm * bn * 4 + bm * bn * o_b * 2
+        parts = [f' | tiles=({bm},{bn},{bk})',
+                 f'vmem~{vmem / 2**20:.2f}MiB']
+        if None not in (m, n, k):
+            gm = -(-m // bm)
+            gn = -(-n // bn)
+            gk = -(-k // bk)
+            parts.append(f'grid=({gm},{gn},{gk})')
+        return ' '.join(parts)
+    except Exception:
+        return ''
 
 
 @functools.lru_cache(maxsize=None)

@@ -205,7 +205,11 @@ def tile_gids_from_ids(ids: np.ndarray, block_m: int, num_groups: int):
         return gids, ends
     starts = np.arange(num_tiles) * block_m
     gids[:] = np.maximum(ids[starts], 0)
-    ends[:] = m
+    # real per-group end rows (mirrors the device scatter-max and the C++)
+    ends_real = np.zeros(max(num_groups, 1), np.int32)
+    valid = ids >= 0
+    np.maximum.at(ends_real, ids[valid], np.nonzero(valid)[0].astype(np.int32) + 1)
+    ends[:] = ends_real[gids]
     return gids, ends
 
 

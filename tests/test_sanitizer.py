@@ -58,3 +58,42 @@ def test_bitwise_determinism():
     for _ in range(4):
         for x, y in zip(first, _run_all_once(inputs)):
             assert_bitwise_equal(x, y)
+
+
+def test_rdma_kernels_deterministic():
+    """The RDMA/semaphore kernels — the riskiest code — under the
+    interpret+determinism harness (round-1 gap: the sanitizer set skipped
+    them): the Pallas all-to-all and the fully-fused mega kernel must be
+    bit-identical across repeated runs on a 2-device distributed
+    interpreter mesh."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from deepgemm_tpu.parallel.dist import make_mesh
+    from deepgemm_tpu.parallel.collectives import pallas_all_to_all
+    from deepgemm_tpu.kernels.fused_moe import fused_mega_moe
+
+    mesh = make_mesh([('ep', 2)])
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2 * 2, 16, 128), jnp.bfloat16)
+
+    def a2a(v):
+        return pallas_all_to_all(v, 'ep', collective_id=3)
+    run_a2a = shard_map(a2a, mesh=mesh, check_vma=False,
+                        in_specs=P('ep'), out_specs=P('ep'))
+
+    EL, cap, H, I = 2, 16, 128, 128
+    send = jnp.asarray(rng.randn(2 * 2, EL, cap, H), jnp.bfloat16)
+    rw = jnp.asarray(rng.rand(2 * 2, EL, cap), jnp.float32)
+    w1 = jnp.asarray(rng.randn(2 * EL, 2 * I, H) * 0.1, jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(2 * EL, H, I) * 0.1, jnp.bfloat16)
+
+    def mega(s, r, w1l, w2l):
+        return fused_mega_moe(s, r, w1l, w2l, 'ep')
+    run_mega = shard_map(mega, mesh=mesh, check_vma=False,
+                         in_specs=(P('ep'),) * 4, out_specs=P('ep'))
+
+    first_a2a = run_a2a(x)
+    first_mega = run_mega(send, rw, w1, w2)
+    for _ in range(3):
+        assert_bitwise_equal(run_a2a(x), first_a2a)
+        assert_bitwise_equal(run_mega(send, rw, w1, w2), first_mega)
