@@ -182,12 +182,15 @@ def main():
     ks_list = [kpg] * Gk
     from deepgemm_tpu.kernels.k_grouped import k_grouped_gemm
     loop_k = _loop(lambda i, a_, b_, sa, sb:
-                   k_grouped_gemm(a_, b_, ck, jnp.asarray(ks_list, jnp.int32),
-                                  use_psum_layout=False, sfa_t=sa, sfb_t=sb,
+                   k_grouped_gemm(jnp.roll(a_, i, 1), b_, ck,
+                                  jnp.asarray(ks_list, jnp.int32),
+                                  use_psum_layout=False,
+                                  sfa_t=jnp.roll(sa, i, 1), sfb_t=sb,
                                   ks_cpu=ks_list)[0, 0, 0])
     loop_ke = _loop(lambda i, a_, b_:
                     jnp.einsum('gkm,gkn->gmn',
-                               a_.reshape(Gk, kpg, mk_), b_.reshape(Gk, kpg, nk_),
+                               jnp.roll(a_, i, 1).reshape(Gk, kpg, mk_),
+                               b_.reshape(Gk, kpg, nk_),
                                preferred_element_type=jnp.float32
                                )[0, 0, 0])
     t_k = _device_time_of(loop_k, (akq, bkq, aksf, bksf), 'wgrad')

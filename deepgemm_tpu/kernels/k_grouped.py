@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend, runtime
 from ..utils.math import align, ceil_div
-from .common import dot_mn
+from .common import dot_mn, k_slice
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +48,13 @@ class KGroupedGemmSpec:
     block_m: int
     block_n: int
     block_k: int
+    # k-major operands ([m, total_k] / [n, total_k], one XLA relayout at
+    # the ops layer). Measured on v5e at 4096x7168, total_k 8192: ~69 TFLOPS
+    # in BOTH orientations (the sublane-contraction theory did not hold) —
+    # k-major is kept as the default for its better lane legality on ragged
+    # m/n, not for speed. The remaining gap vs dense NT is under
+    # investigation (see CLAUDE.md open items).
+    k_major: bool = False
 
 
 def _build_k_grouped(spec: KGroupedGemmSpec):
@@ -58,11 +65,18 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
     gran = spec.gran_k
     nsf = spec.nsf_total
     gsub = math.gcd(gran, bk)
+    kmaj = spec.k_major
 
     # Prefetch operands: gid[nt], first[nt], last[nt], sf_start[nt], local_base[nt]
     in_specs = [
-        pl.BlockSpec((bk, bm), lambda i, j, s, *pf: (s, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk, bn), lambda i, j, s, *pf: (s, j), memory_space=pltpu.VMEM),
+        (pl.BlockSpec((bm, bk), lambda i, j, s, *pf: (i, s),
+                      memory_space=pltpu.VMEM) if kmaj else
+         pl.BlockSpec((bk, bm), lambda i, j, s, *pf: (s, i),
+                      memory_space=pltpu.VMEM)),
+        (pl.BlockSpec((bn, bk), lambda i, j, s, *pf: (j, s),
+                      memory_space=pltpu.VMEM) if kmaj else
+         pl.BlockSpec((bk, bn), lambda i, j, s, *pf: (s, j),
+                      memory_space=pltpu.VMEM)),
         pl.BlockSpec((1, bm, bn), lambda i, j, s, gid, *pf: (gid[s], i, j),
                      memory_space=pltpu.VMEM),
     ]
@@ -91,7 +105,7 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
         a_blk = a_ref[:]
         b_blk = b_ref[:]
         if not spec.is_scaled:
-            acc_ref[:] += dot_mn(a_blk, b_blk, False, False)
+            acc_ref[:] += dot_mn(a_blk, b_blk, kmaj, kmaj)
         else:
             sfa_ref2, sfb_ref2 = refs[3], refs[4]   # (nsf, bm), (nsf, bn)
             total = None
@@ -101,8 +115,8 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                 # multiply zero-padded data; clamp keeps the read in-bounds.
                 row = sfstart_ref[s] + (localbase_ref[s] + t * gsub) // gran
                 row = jnp.minimum(row, nsf - 1)
-                p = dot_mn(a_blk[t * gsub:(t + 1) * gsub, :],
-                           b_blk[t * gsub:(t + 1) * gsub, :], False, False)
+                p = dot_mn(k_slice(a_blk, kmaj, t * gsub, gsub),
+                           k_slice(b_blk, kmaj, t * gsub, gsub), kmaj, kmaj)
                 sfa_row = sfa_ref2[pl.ds(row, 1), :]          # (1, bm), exact
                 sfb_row = sfb_ref2[pl.ds(row, 1), :]          # (1, bn), exact
                 term = (p * sfb_row) * sfa_row.reshape(bm, 1)
@@ -173,19 +187,36 @@ def compute_k_tile_metadata(grouped_layout: jnp.ndarray, num_groups: int,
 def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
                    sfa_t=None, sfb_t=None, gran_k: int = 128,
                    num_groups: Optional[int] = None,
-                   ks_cpu=None) -> jnp.ndarray:
+                   ks_cpu=None, k_major: bool = True) -> jnp.ndarray:
     """d[g] = c[g] + a_g^T @ b_g (FP32 out). ``grouped_layout`` is per-group
-    k sizes or psum end offsets (/root/reference/csrc/apis/gemm.hpp:48-69)."""
+    k sizes or psum end offsets (/root/reference/csrc/apis/gemm.hpp:48-69).
+
+    ``k_major`` (default): one XLA relayout turns the TN operands k-major
+    (better Mosaic lane legality for ragged m/n; measured perf parity with
+    the MN-major orientation on v5e)."""
     total_k, m = a.shape
     n = b.shape[1]
     num_groups = num_groups or grouped_layout.shape[0]
     is_scaled = sfa_t is not None
     k_alignment = runtime().mk_alignment
 
-    # lane-dim blocks must be 128-divisible or cover the whole dim (Mosaic)
-    bm = min(256, m) if m % 128 == 0 else m
-    bn = min(256, n) if n % 128 == 0 else n
+    # Tile choice: the wgrad shape is HBM-BOUND at 256-wide tiles (A/B are
+    # re-streamed once per opposing tile row/col; profiled 4.9 ms kernel =
+    # ~2.8 GB of traffic at 4096x7168, total_k 8192). 512-wide tiles halve
+    # the A/B re-streams; fall back to 256 when VMEM cannot hold a deep-k
+    # working set. Lane/sublane rule: 128-divisible or the whole dim.
     nsf_total = sfa_t.shape[0] if is_scaled else 0
+    a_bytes = jnp.dtype(a.dtype).itemsize
+    b_bytes = jnp.dtype(b.dtype).itemsize
+    budget0 = 11 * 1024 * 1024
+    bm = bn = None
+    for cand in (512, 256):
+        bm = min(cand, m) if m % 128 == 0 else m
+        bn = min(cand, n) if n % 128 == 0 else n
+        fixed0 = bm * bn * 4 * 3 + nsf_total * (bm + bn) * 4
+        per_k0 = (bm * a_bytes + bn * b_bytes) * 2
+        if budget0 - fixed0 >= per_k0 * k_alignment:
+            break
 
     # block_k must divide every group START (so no k-tile straddles a group
     # boundary; inter-group padding rows are zero by the layout contract).
@@ -210,12 +241,9 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         g = int(total_k)
         for s in starts[1:]:
             g = math.gcd(g, int(s))
-        a_b = jnp.dtype(a.dtype).itemsize
-        b_b = jnp.dtype(b.dtype).itemsize
-        budget = 11 * 1024 * 1024   # headroom under the 12.5 MiB ceiling
         fixed = bm * bn * 4 * 3 + nsf_total * (bm + bn) * 4
-        per_k = (bm * a_b + bn * b_b) * 2
-        fit = max((budget - fixed) // per_k, k_alignment)
+        per_k = (bm * a_bytes + bn * b_bytes) * 2
+        fit = max((budget0 - fixed) // per_k, k_alignment)
         best = k_alignment
         cand = k_alignment
         while cand <= min(fit, g):
@@ -229,8 +257,11 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         num_groups=num_groups, m=m, n=n, total_k=total_k,
         a_dtype=str(a.dtype), b_dtype=str(b.dtype), is_scaled=is_scaled,
         gran_k=gran_k, nsf_total=nsf_total,
-        block_m=bm, block_n=bn, block_k=bk)
+        block_m=bm, block_n=bn, block_k=bk, k_major=k_major)
     fn = kernel_cache().get_or_build(spec, lambda: _build_k_grouped(spec))
+    if k_major:
+        a = jnp.swapaxes(a, 0, 1)          # [m, total_k]
+        b = jnp.swapaxes(b, 0, 1)          # [n, total_k]
 
     gid, first, last, sf_start, local_base, real_ks = compute_k_tile_metadata(
         grouped_layout, num_groups, total_k, bk, gran_k, k_alignment,

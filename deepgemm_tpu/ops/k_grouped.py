@@ -41,7 +41,8 @@ def k_grouped_fp8_gemm_tn_contiguous(a, b, d=None, ks=None, grouped_layout=None,
     return k_grouped_gemm(a_val, b_val, c, grouped_layout,
                           use_psum_layout=use_psum_layout,
                           sfa_t=sfa_t, sfb_t=sfb_t, gran_k=gran_k,
-                          num_groups=num_groups)
+                          num_groups=num_groups,
+                          ks_cpu=ks if isinstance(ks, (list, tuple)) else None)
 
 
 def k_grouped_fp8_gemm_nt_contiguous(a, b, d=None, ks: Optional[List[int]] = None,

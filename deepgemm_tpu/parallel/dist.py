@@ -53,3 +53,64 @@ def dist_print(*args, rank: Optional[int] = None, **kwargs):
     """Rank-filtered print (/root/reference/deep_gemm/utils/dist.py:61-74)."""
     if rank is None or jax.process_index() == rank:
         print(f'[rank {jax.process_index()}]', *args, **kwargs)
+
+
+class CollectiveWatchdog:
+    """Failure-detection watchdog for collective/RDMA sections — the TPU
+    analog of the reference's 60-second NVSHMEM barrier watchdogs
+    (/root/reference/deep_gemm/include/deep_gemm/comm/barrier.cuh — spin
+    loops that abort with a diagnostic instead of hanging forever).
+
+    XLA's collective runtime detects most peer failures itself, but a Pallas
+    RDMA kernel waiting on a semaphore that a crashed peer never signals
+    hangs silently. Wrap the host-side sync point::
+
+        with CollectiveWatchdog(60, label='mega dispatch'):
+            jax.block_until_ready(out)
+
+    On expiry the watchdog prints a rank-stamped diagnostic (and optionally
+    invokes ``on_timeout``) WITHOUT killing the process — the hung transfer
+    may still complete, and serving stacks want the log line, not a crash.
+    Pass ``fatal=True`` to raise ``TimeoutError`` from the main thread on
+    exit instead.
+    """
+
+    def __init__(self, timeout_s: float = 60.0, label: str = '',
+                 on_timeout=None, fatal: bool = False):
+        self.timeout_s = timeout_s
+        self.label = label
+        self.on_timeout = on_timeout
+        self.fatal = fatal
+        self.fired = False
+        self._timer = None
+
+    def _fire(self):
+        self.fired = True
+        dist_print(f'WATCHDOG: collective section {self.label!r} exceeded '
+                   f'{self.timeout_s:.0f}s — a peer may have failed '
+                   f'(devices: {jax.device_count()})', rank=None)
+        if self.on_timeout is not None:
+            self.on_timeout()
+
+    def __enter__(self):
+        import threading
+        self._timer = threading.Timer(self.timeout_s, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self._timer.cancel()
+        if self.fired and self.fatal and exc_type is None:
+            raise TimeoutError(
+                f'collective section {self.label!r} exceeded '
+                f'{self.timeout_s:.0f}s')
+        return False
+
+
+def blocking_collective(out, timeout_s: float = 60.0, label: str = '',
+                        fatal: bool = False):
+    """``jax.block_until_ready`` under a :class:`CollectiveWatchdog`."""
+    with CollectiveWatchdog(timeout_s, label=label, fatal=fatal) as wd:
+        jax.block_until_ready(out)
+    return wd.fired

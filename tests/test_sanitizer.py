@@ -97,3 +97,28 @@ def test_rdma_kernels_deterministic():
     for _ in range(3):
         assert_bitwise_equal(run_a2a(x), first_a2a)
         assert_bitwise_equal(run_mega(send, rw, w1, w2), first_mega)
+
+
+def test_collective_watchdog():
+    """Failure-detection analog of the reference's 60s barrier watchdogs:
+    fast sections pass silently; a stalled section fires the diagnostic (and
+    optionally raises) without killing the process."""
+    import time
+    from deepgemm_tpu.parallel.dist import CollectiveWatchdog, blocking_collective
+
+    fired = blocking_collective(jnp.ones((8,)), timeout_s=30.0, label='fast')
+    assert not fired
+
+    events = []
+    with CollectiveWatchdog(0.05, label='slow',
+                            on_timeout=lambda: events.append('t')) as wd:
+        time.sleep(0.2)
+    assert wd.fired and events == ['t']
+
+    try:
+        with CollectiveWatchdog(0.05, label='slow-fatal', fatal=True):
+            time.sleep(0.2)
+        raised = False
+    except TimeoutError:
+        raised = True
+    assert raised
