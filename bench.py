@@ -186,13 +186,15 @@ def main():
                                   jnp.asarray(ks_list, jnp.int32),
                                   use_psum_layout=False,
                                   sfa_t=jnp.roll(sa, i, 1), sfb_t=sb,
-                                  ks_cpu=ks_list)[0, 0, 0])
+                                  ks_cpu=ks_list).reshape(-1)[i])
     loop_ke = _loop(lambda i, a_, b_:
                     jnp.einsum('gkm,gkn->gmn',
                                jnp.roll(a_, i, 1).reshape(Gk, kpg, mk_),
                                b_.reshape(Gk, kpg, nk_),
                                preferred_element_type=jnp.float32
-                               )[0, 0, 0])
+                               # dynamic consumption: a static [0,0,0] lets
+                               # XLA DCE the whole einsum into a sliver
+                               ).reshape(-1)[i])
     t_k = _device_time_of(loop_k, (akq, bkq, aksf, bksf), 'wgrad')
     t_ke = _device_time_of(loop_ke, (ak, bk_), 'wgrad_xla')
     flops_k = 2 * mk_ * nk_ * tk

@@ -17,6 +17,8 @@ runtime/native.py; this module documents them and provides the same
 | ``DGT_IGNORE_COMPILE_DIMS`` | drop static-dim specialization hints      | ``DG_JIT_IGNORE_COMPILE_DIMS`` |
 | ``DGT_PRINT_CONFIGS``     | print chosen kernel configs once per spec   | ``DG_PRINT_CONFIGS`` |
 | ``DGT_DEBUG``             | full dump tier: spec + grid + VMEM estimate | ``DG_JIT_DEBUG`` |
+| ``DGT_INTERPRET``         | force Pallas interpret mode (even on TPU)   | compute-sanitizer runs |
+| ``DGT_DISABLE_KERNEL_CACHE`` | rebuild traced kernels on every call     | ``DG_JIT_DISABLE_CACHE`` |
 | ``DGT_SCALE_STRATEGY``    | force 'promote' / 'dequant' FP8 scaling     | (recipe/arch dispatch) |
 | ``DGT_TEST_PLATFORM``     | tests: 'cpu' (virtual mesh) or 'tpu'        | (CI matrix) |
 """
@@ -36,5 +38,6 @@ def describe() -> dict:
     names = ['DGT_JIT_CACHE_DIR', 'DGT_NATIVE_CACHE_DIR', 'DGT_CXX',
              'DGT_DISABLE_NATIVE', 'DGT_NUM_CORES', 'DGT_MK_ALIGNMENT',
              'DGT_IGNORE_COMPILE_DIMS', 'DGT_PRINT_CONFIGS', 'DGT_DEBUG',
+             'DGT_INTERPRET', 'DGT_DISABLE_KERNEL_CACHE',
              'DGT_SCALE_STRATEGY', 'DGT_TEST_PLATFORM']
     return {n: os.environ.get(n) for n in names}

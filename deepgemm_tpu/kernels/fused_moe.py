@@ -438,6 +438,35 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
     if scaled:
         assert hidden % gran_k == 0 and inter % gran_k == 0, (hidden, inter)
         assert bn1 % gran_k == 0, bn1
+
+    # VMEM-aware tile shrink: at serving dims (H 7168, I 2048, cap 128,
+    # bn1 = bh2 = 256) the working set overflows the ~16 MiB scoped VMEM
+    # (measured 16.6M alloc). Halve the wider weight tile until the estimate
+    # fits a conservative budget (Mosaic's allocator adds ~40% overhead on
+    # top of the raw block bytes here).
+    xb = jnp.dtype(send_x.dtype).itemsize
+    wb = jnp.dtype(w1.dtype).itemsize
+
+    def _est(b1, b2):
+        e = (2 * b1 * hidden * wb) * 2          # w1 gate/up pair, dbl-buffered
+        e += (b2 * inter * wb) * 2              # w2 tile
+        e += cap * hidden * xb                  # x staging
+        e += cap * inter * (1 if scaled else 2)  # act
+        e += cap * hidden * 2                   # y
+        if scaled:
+            ksf1_ = ((hidden // gran_k + 127) // 128) * 128
+            e += cap * ksf1_ * 4 + (inter // gran_k) * cap * 4
+            e += 2 * (hidden // gran_k) * b1 * 4 * 2
+            e += (inter // gran_k) * b2 * 4 * 2
+        return e
+    budget = 10 * 1024 * 1024
+    while _est(bn1, bh2) > budget and max(bn1, bh2) > 128:
+        if bn1 * 2 * hidden >= bh2 * inter and bn1 > 128:
+            bn1 //= 2
+        elif bh2 > 128:
+            bh2 //= 2
+        else:
+            bn1 //= 2
     nt1, nt2 = inter // bn1, hidden // bh2
 
     w1r = w1.reshape(e_local, 2, inter, hidden)

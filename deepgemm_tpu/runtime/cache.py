@@ -30,10 +30,13 @@ class KernelCache:
         with self._lock:
             fn = self._cache.get(spec)
             if fn is None:
-                from .config import runtime
+                from .config import get_bool_env, runtime
                 runtime().maybe_print_config(spec, getattr(spec, 'cfg', None))
                 fn = builder()
-                self._cache[spec] = fn
+                # DGT_DISABLE_KERNEL_CACHE=1: rebuild per call (the analog
+                # of DG_JIT_DISABLE_CACHE, for cache-coherence debugging).
+                if not get_bool_env('DGT_DISABLE_KERNEL_CACHE'):
+                    self._cache[spec] = fn
         return fn
 
     def __len__(self):

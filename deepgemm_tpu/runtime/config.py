@@ -166,6 +166,12 @@ def align(x: int, y: int) -> int:
 
 
 def is_cpu_backend() -> bool:
-    """True when running on the CPU backend (tests / virtual meshes): Pallas
-    kernels then run in interpret mode."""
+    """True when Pallas kernels should run in INTERPRET mode: the CPU
+    backend (tests / virtual meshes), or ``DGT_INTERPRET=1`` to force
+    interpretation even on TPU (a debugging tier like running the reference
+    under compute-sanitizer: python-level bounds/shape checking at the cost
+    of speed). Remember interpret mode accepts lane-rule-violating block
+    shapes Mosaic rejects — it's a numerics debugger, not a compile check."""
+    if get_bool_env('DGT_INTERPRET'):
+        return True
     return jax.default_backend() == 'cpu'
