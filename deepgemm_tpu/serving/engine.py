@@ -1,0 +1,239 @@
+"""Continuous batching engine over the paged decode kernels.
+
+TPU-idiomatic design (vs a GPU server's dynamic batches):
+
+  * FIXED decode slots: the engine owns ``max_slots`` batch rows forever;
+    admission fills a free slot, completion frees it. Every device shape
+    (q, block tables, context lens) is static, so the decode step compiles
+    ONCE — the TPU analog of the reference's CUDA-graph-safe masked decode
+    contract ("masked_m read on device only").
+  * Inactive slots carry ``context_len = 0``: the paged MQA kernel's
+    active-tile predicate skips their work on device, no host branching.
+  * Paged KV: a host-side free-list allocator hands cache blocks to slots;
+    the block table is a static ``[max_slots, max_pages]`` int32 array.
+  * Cache append is a functional ``.at[pages, offsets].set`` scatter —
+    XLA turns it into an in-place dynamic-update on TPU.
+
+The per-step compute is the lightning-indexer sparse decode
+(models/indexer.py): quantized indexer scoring on the Pallas paged kernel,
+top-k selection, exact attention over the selected slots.
+"""
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.indexer import indexer_sparse_decode
+from ..utils.math import ceil_div
+
+
+class PageAllocator:
+    """Host-side free-list of KV cache blocks (the paged-attention page
+    table manager the reference's serving stacks keep around its kernels)."""
+
+    def __init__(self, num_blocks: int):
+        self._free: List[int] = list(range(num_blocks - 1, -1, -1))
+        self.num_blocks = num_blocks
+
+    @property
+    def num_free(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(f'paged cache exhausted: need {n}, '
+                              f'free {len(self._free)}')
+        out = [self._free.pop() for _ in range(n)]
+        return out
+
+    def free(self, pages: List[int]):
+        self._free.extend(reversed(pages))
+
+
+@dataclasses.dataclass
+class SequenceState:
+    seq_id: int
+    slot: int
+    ctx_len: int                  # tokens currently in the cache
+    pages: List[int]
+    steps: int = 0
+
+
+class PagedCache:
+    """Device-side paged caches: attention K/V pages plus the quantized
+    indexer cache in the kernel's pre-split (fp8 values, f32 SF) layout."""
+
+    def __init__(self, num_blocks: int, block_kv: int, num_heads: int,
+                 head_dim: int, index_dim: int):
+        self.block_kv = block_kv
+        self.k_pages = jnp.zeros((num_blocks, block_kv, num_heads, head_dim),
+                                 jnp.bfloat16)
+        self.v_pages = jnp.zeros_like(self.k_pages)
+        self.ik_pages = jnp.zeros((num_blocks, block_kv, index_dim),
+                                  jnp.float8_e4m3fn)
+        self.isf_pages = jnp.full((num_blocks, block_kv), 1e-9, jnp.float32)
+
+    def append(self, pages: jnp.ndarray, offsets: jnp.ndarray,
+               k_new: jnp.ndarray, v_new: jnp.ndarray,
+               ik_new: jnp.ndarray, isf_new: jnp.ndarray,
+               active: jnp.ndarray):
+        """Scatter one new token per slot into the caches. ``pages`` and
+        ``offsets`` [slots] address each slot's tail; inactive slots write
+        into a scratch page slot 0/offset 0 guarded by ``active`` masking
+        (mode='drop' via an out-of-range page id)."""
+        safe_pages = jnp.where(active, pages, self.k_pages.shape[0])
+        self.k_pages = self.k_pages.at[safe_pages, offsets].set(
+            k_new, mode='drop')
+        self.v_pages = self.v_pages.at[safe_pages, offsets].set(
+            v_new, mode='drop')
+        self.ik_pages = self.ik_pages.at[safe_pages, offsets].set(
+            ik_new, mode='drop')
+        self.isf_pages = self.isf_pages.at[safe_pages, offsets].set(
+            isf_new, mode='drop')
+
+
+class ContinuousBatcher:
+    """Static-slot continuous batching over the indexer sparse-decode path.
+
+    ``embed_fn(token_batch) -> (q, iq, iw, k_new, v_new, ik_new, isf_new)``
+    produces one decode step's streams for all slots (a real server plugs
+    the model's projections in here; tests use a deterministic stub).
+    """
+
+    def __init__(self, *, max_slots: int, max_pages_per_seq: int,
+                 num_blocks: int, block_kv: int, num_heads: int,
+                 head_dim: int, index_heads: int, index_dim: int,
+                 topk: int, embed_fn: Callable):
+        self.max_slots = max_slots
+        self.max_pages = max_pages_per_seq
+        self.block_kv = block_kv
+        self.topk = topk
+        self.embed_fn = embed_fn
+        self.alloc = PageAllocator(num_blocks)
+        self.cache = PagedCache(num_blocks, block_kv, num_heads, head_dim,
+                                index_dim)
+        # static device state
+        self.block_table = np.zeros((max_slots, max_pages_per_seq), np.int32)
+        self.context_lens = np.zeros(max_slots, np.int32)
+        self._slots: List[Optional[SequenceState]] = [None] * max_slots
+        self._next_id = 0
+        self.max_context_len = max_pages_per_seq * block_kv
+
+    # ----- admission / completion ---------------------------------------
+    def admit(self, prompt_len: int) -> Optional[int]:
+        """Claim a slot + pages for a sequence whose prompt KV the caller
+        will prefill via :meth:`prefill`. Returns seq_id or None if no slot
+        is free (the request queues at the caller)."""
+        try:
+            slot = self._slots.index(None)
+        except ValueError:
+            return None
+        pages_needed = max(1, ceil_div(prompt_len, self.block_kv))
+        if pages_needed > self.alloc.num_free:
+            return None
+        pages = self.alloc.alloc(pages_needed)
+        seq = SequenceState(self._next_id, slot, 0, pages)
+        self._next_id += 1
+        self._slots[slot] = seq
+        self.block_table[slot, :] = 0
+        self.block_table[slot, :len(pages)] = pages
+        self.context_lens[slot] = 0
+        return seq.seq_id
+
+    def finish(self, seq_id: int):
+        for slot, seq in enumerate(self._slots):
+            if seq is not None and seq.seq_id == seq_id:
+                self.alloc.free(seq.pages)
+                self._slots[slot] = None
+                self.context_lens[slot] = 0
+                self.block_table[slot, :] = 0
+                return
+        raise KeyError(seq_id)
+
+    def _seq(self, seq_id: int) -> SequenceState:
+        for seq in self._slots:
+            if seq is not None and seq.seq_id == seq_id:
+                return seq
+        raise KeyError(seq_id)
+
+    # ----- cache writes --------------------------------------------------
+    def _grow(self, seq: SequenceState, new_len: int):
+        pages_needed = max(1, ceil_div(new_len, self.block_kv))
+        while len(seq.pages) < pages_needed:
+            if len(seq.pages) >= self.max_pages:
+                raise MemoryError(f'sequence {seq.seq_id} exceeded '
+                                  f'max_pages_per_seq={self.max_pages}')
+            new = self.alloc.alloc(1)
+            seq.pages.extend(new)
+            self.block_table[seq.slot, len(seq.pages) - 1] = new[0]
+
+    def prefill(self, seq_id: int, k: jnp.ndarray, v: jnp.ndarray,
+                ik: jnp.ndarray, isf: jnp.ndarray):
+        """Write a prompt's KV ([T, h, d] / [T, di] fp8 / [T] f32) into the
+        sequence's pages in one scatter per page."""
+        seq = self._seq(seq_id)
+        t = k.shape[0]
+        self._grow(seq, seq.ctx_len + t)
+        base = seq.ctx_len
+        for start in range(0, t, self.block_kv):
+            stop = min(start + self.block_kv, t)
+            pos0 = base + start
+            page = seq.pages[pos0 // self.block_kv]
+            off = pos0 % self.block_kv
+            n = stop - start
+            self.cache.k_pages = self.cache.k_pages.at[
+                page, off:off + n].set(k[start:stop])
+            self.cache.v_pages = self.cache.v_pages.at[
+                page, off:off + n].set(v[start:stop])
+            self.cache.ik_pages = self.cache.ik_pages.at[
+                page, off:off + n].set(ik[start:stop])
+            self.cache.isf_pages = self.cache.isf_pages.at[
+                page, off:off + n].set(isf[start:stop])
+        seq.ctx_len += t
+        self.context_lens[seq.slot] = seq.ctx_len
+
+    # ----- one decode step over ALL slots -------------------------------
+    def step(self, tokens: Dict[int, int]) -> Dict[int, jnp.ndarray]:
+        """One continuous-batching decode step: ``tokens`` maps seq_id ->
+        next input token id. Every active slot advances one position; free
+        slots ride along masked (ctx 0). Returns seq_id -> output [h, d]."""
+        token_batch = np.zeros(self.max_slots, np.int32)
+        active = np.zeros(self.max_slots, bool)
+        for seq_id, tok in tokens.items():
+            seq = self._seq(seq_id)
+            token_batch[seq.slot] = tok
+            active[seq.slot] = True
+
+        q, iq, iw, k_new, v_new, ik_new, isf_new = self.embed_fn(
+            jnp.asarray(token_batch))
+
+        # append the new token's KV at each active slot's tail
+        pages_np = np.zeros(self.max_slots, np.int32)
+        offs_np = np.zeros(self.max_slots, np.int32)
+        for seq in self._slots:
+            if seq is None or not active[seq.slot]:
+                continue
+            self._grow(seq, seq.ctx_len + 1)
+            pages_np[seq.slot] = seq.pages[seq.ctx_len // self.block_kv]
+            offs_np[seq.slot] = seq.ctx_len % self.block_kv
+        self.cache.append(jnp.asarray(pages_np), jnp.asarray(offs_np),
+                          k_new, v_new, ik_new, isf_new, jnp.asarray(active))
+        for seq in self._slots:
+            if seq is not None and active[seq.slot]:
+                seq.ctx_len += 1
+                seq.steps += 1
+                self.context_lens[seq.slot] = seq.ctx_len
+
+        out = indexer_sparse_decode(
+            q[:, None], (self.cache.k_pages, self.cache.v_pages),
+            (self.cache.ik_pages, self.cache.isf_pages),
+            iq[:, None], iw,
+            jnp.asarray(self.context_lens), jnp.asarray(self.block_table),
+            self.max_context_len, self.topk)
+
+        return {seq.seq_id: out[seq.slot, 0]
+                for seq in self._slots
+                if seq is not None and active[seq.slot]}
