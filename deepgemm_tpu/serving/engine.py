@@ -122,6 +122,24 @@ class ContinuousBatcher:
         self._next_id = 0
         self.max_context_len = max_pages_per_seq * block_kv
 
+        # The ENTIRE device step (cache append + indexer scoring + top-k +
+        # sparse attention) compiles once: shapes are static by design, so
+        # this jit is hit on every step after the first — one device launch
+        # per decode step, the production serving cadence.
+        def _device_step(kp, vp, ikp, isfp, pages, offs, active,
+                         q, iq, iw, k_new, v_new, ik_new, isf_new,
+                         block_table, context_lens):
+            safe_pages = jnp.where(active, pages, kp.shape[0])
+            kp = kp.at[safe_pages, offs].set(k_new, mode='drop')
+            vp = vp.at[safe_pages, offs].set(v_new, mode='drop')
+            ikp = ikp.at[safe_pages, offs].set(ik_new, mode='drop')
+            isfp = isfp.at[safe_pages, offs].set(isf_new, mode='drop')
+            out = indexer_sparse_decode(
+                q[:, None], (kp, vp), (ikp, isfp), iq[:, None], iw,
+                context_lens, block_table, self.max_context_len, self.topk)
+            return kp, vp, ikp, isfp, out
+        self._device_step = jax.jit(_device_step)
+
     # ----- admission / completion ---------------------------------------
     def admit(self, prompt_len: int) -> Optional[int]:
         """Claim a slot + pages for a sequence whose prompt KV the caller
@@ -219,20 +237,21 @@ class ContinuousBatcher:
             self._grow(seq, seq.ctx_len + 1)
             pages_np[seq.slot] = seq.pages[seq.ctx_len // self.block_kv]
             offs_np[seq.slot] = seq.ctx_len % self.block_kv
-        self.cache.append(jnp.asarray(pages_np), jnp.asarray(offs_np),
-                          k_new, v_new, ik_new, isf_new, jnp.asarray(active))
         for seq in self._slots:
             if seq is not None and active[seq.slot]:
                 seq.ctx_len += 1
                 seq.steps += 1
                 self.context_lens[seq.slot] = seq.ctx_len
 
-        out = indexer_sparse_decode(
-            q[:, None], (self.cache.k_pages, self.cache.v_pages),
-            (self.cache.ik_pages, self.cache.isf_pages),
-            iq[:, None], iw,
-            jnp.asarray(self.context_lens), jnp.asarray(self.block_table),
-            self.max_context_len, self.topk)
+        c = self.cache
+        (c.k_pages, c.v_pages, c.ik_pages, c.isf_pages, out) = \
+            self._device_step(
+                c.k_pages, c.v_pages, c.ik_pages, c.isf_pages,
+                jnp.asarray(pages_np), jnp.asarray(offs_np),
+                jnp.asarray(active),
+                q, iq, iw, k_new, v_new, ik_new, isf_new,
+                jnp.asarray(self.block_table),
+                jnp.asarray(self.context_lens))
 
         return {seq.seq_id: out[seq.slot, 0]
                 for seq in self._slots
