@@ -77,6 +77,9 @@ def main():
     import deepgemm_tpu as dg
     from deepgemm_tpu.testing import calc_diff
     from deepgemm_tpu.ops.m_grouped import _grouped_sfb_t
+    # Cross-process compile cache: without it a fresh bench process redoes
+    # every Mosaic compile through the (slow) remote relay.
+    dg.init_persistent_cache()
 
     rng = np.random.RandomState(0)
     ops = {}

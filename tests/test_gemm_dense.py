@@ -210,3 +210,31 @@ def test_kernel_cache_reuse():
     mid = len(dg.kernel_cache())
     dg.bf16_gemm_nt(a, b)
     assert len(dg.kernel_cache()) == mid >= before
+
+
+def test_fp8_gemm_fp64_emulation_oracle():
+    """North-star numerics gate (BASELINE.json): the kernel must match an
+    FP64 emulation oracle that applies the SAME per-block scale rounding —
+    dequantize the exact fp8 codes and f32 scales into float64, accumulate
+    in float64. The only remaining differences are the kernel's f32
+    accumulation and bf16 output rounding."""
+    rng = np.random.RandomState(17)
+    m, n, k = 128, 256, 512
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(n, k), jnp.bfloat16)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+    bq, bsf = dg.per_block_cast_to_fp8(b, use_ue8m0=False)
+
+    d = np.asarray(dg.fp8_gemm_nt((aq, asf), (bq, bsf)), np.float64)
+
+    # float64 emulation with identical scale layout
+    a64 = np.asarray(aq, np.float64) * np.repeat(
+        np.asarray(asf, np.float64), 128, axis=1)[:, :k]
+    b64 = np.asarray(bq, np.float64) * np.repeat(np.repeat(
+        np.asarray(bsf, np.float64), 128, axis=0), 128, axis=1)[:n, :k]
+    ref64 = a64 @ b64.T
+
+    # error budget: f32 accumulation of k=512 terms + bf16 output rounding
+    rel = np.abs(d - ref64) / np.maximum(np.abs(ref64), 1.0)
+    assert rel.max() < 2 ** -7, rel.max()        # within bf16 ulp
+    assert calc_diff(d, ref64.astype(np.float32)) < 5e-6
