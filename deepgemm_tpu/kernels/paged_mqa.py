@@ -40,13 +40,15 @@ class PagedMQASpec:
     max_model_len: int
     ctx_2d: bool                # context_lens given per (batch, next_n)
     logits_dtype: str
-    tile_kv: int = 1024         # kv positions per grid step
-    # 'gather' strategy (DEFAULT, swept on v5e: 385 vs 141 GB/s effective,
-    # bitwise-identical): the pages are pre-gathered into a contiguous
-    # [B, mb*bkv, d] cache by one XLA gather pass, and the kernel streams
-    # big linear tiles. The 2x cache traffic of the copy is far cheaper than
-    # the paged path's small-DMA overhead; 'paged' remains the zero-copy
-    # option for HBM-constrained serving.
+    tile_kv: int = 4096         # kv positions per grid step
+    # 'gather' strategy (DEFAULT, swept on v5e; bitwise-identical to
+    # 'paged'): the pages are pre-gathered into a contiguous [B, mb*bkv, d]
+    # cache by one XLA gather pass, and the kernel streams big linear
+    # tiles. The 2x cache traffic of the copy is far cheaper than the paged
+    # path's small-DMA overhead, and the GEMM single-k-step rule applies
+    # here too: at B64/ctx4096, tile_kv 1024 -> 4096 (one step per row) is
+    # 326 -> 642 GB/s effective. 'paged' remains the zero-copy option for
+    # HBM-constrained serving.
     linear_cache: bool = False
 
 
@@ -186,7 +188,7 @@ def _build_paged_mqa(spec: PagedMQASpec):
 def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
                      weights: jnp.ndarray, context_lens: jnp.ndarray,
                      block_table: jnp.ndarray, max_model_len: int,
-                     logits_dtype=jnp.float32, tile_kv: int = 1024,
+                     logits_dtype=jnp.float32, tile_kv: int = 4096,
                      strategy: str = 'gather') -> jnp.ndarray:
     """q [B, next_n, h, d] fp8; kv_cache [num_blocks, block_kv, d] fp8 with
     per-token kv_sf [num_blocks, block_kv] f32; weights [B*next_n, h];

@@ -180,12 +180,12 @@ def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
     # row's context) stays bounded — the TPU use of the native scheduler's
     # active-split accounting (results are bitwise-identical across tile
     # widths; this is purely a bandwidth knob).
-    tile_kv = 1024
+    tile_kv = 4096
     if not isinstance(context_lens, jax.core.Tracer):
         from ..runtime import native
         lens = np.asarray(context_lens, np.int32).reshape(-1)
         if lens.size and lens.max() > 0:
-            for cand in (1024, 512, 256, 128):
+            for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
                 _, total = native.paged_mqa_schedule(lens, cand, 1)
                 padded = total * cand
                 if padded <= 1.3 * int(lens.sum()):
