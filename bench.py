@@ -247,6 +247,49 @@ def main():
         'fp8_paged_mqa_decode', value=round(gbps, 1), unit='GB/s_effective',
         vs_baseline=round(gbps / HBM_GBPS, 3))
 
+    # ---- config 5b: fused mega MoE (single-chip leg of the flagship) ----
+    # The RDMA transfers need >1 chip; at D=1 the kernel still runs its full
+    # dispatch-staging + L1 + SwiGLU/requant + L2 + combine structure with
+    # local DMAs — the per-chip compute cadence of the serving pipeline.
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from deepgemm_tpu.kernels.fused_moe import fused_mega_moe
+    ELm, capm, Hm, Im = 8, 128, 7168, 2048
+    xm = jnp.asarray(rng.randn(ELm * capm, Hm) * 0.5, jnp.bfloat16)
+    xqm, xsfm = dg.per_token_cast_to_fp8(xm, use_ue8m0=False)
+    xqm = xqm.reshape(1, ELm, capm, Hm)
+    xsfm = xsfm.reshape(1, ELm, capm, -1)
+    rwm = jnp.asarray(rng.rand(1, ELm, capm).astype(np.float32))
+    w1m = jnp.asarray(rng.randn(ELm, 2 * Im, Hm) * 0.02, jnp.bfloat16)
+    w2m = jnp.asarray(rng.randn(ELm, Hm, Im) * 0.02, jnp.bfloat16)
+    w1mq, w1msf, w2mq, w2msf = [], [], [], []
+    for e in range(ELm):
+        vq, vs = dg.per_block_cast_to_fp8(w1m[e], use_ue8m0=False)
+        w1mq.append(vq); w1msf.append(vs)
+        vq, vs = dg.per_block_cast_to_fp8(w2m[e], use_ue8m0=False)
+        w2mq.append(vq); w2msf.append(vs)
+    w1mq, w1msf = jnp.stack(w1mq), jnp.stack(w1msf)
+    w2mq, w2msf = jnp.stack(w2mq), jnp.stack(w2msf)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ('ep',))
+    mega_fn = jax.jit(shard_map(
+        lambda xs, ss, rws, a1, s1, a2, s2: fused_mega_moe(
+            xs, rws, a1, a2, 'ep', send_sf=ss, w1_sf=s1, w2_sf=s2),
+        mesh=mesh1, check_vma=False, in_specs=(P(),) * 7, out_specs=P()))
+
+    @jax.jit
+    def loop_mega(xs, ss, rws, a1, s1, a2, s2):
+        def body(i, acc):
+            o = mega_fn(jnp.roll(xs, i, 2), ss, rws, a1, s1, a2, s2)
+            return acc + o[0, 0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
+    t_mega = _device_time_of(
+        loop_mega, (xqm, xsfm, rwm, w1mq, w1msf, w2mq, w2msf), 'mega')
+    flops_mega = ELm * (2 * capm * 2 * Im * Hm + 2 * capm * Hm * Im)
+    ops['fp8_fused_mega_moe_1chip'] = _emit(
+        'fp8_fused_mega_moe_1chip',
+        value=round(flops_mega / t_mega / 1e12, 1), unit='TFLOPS',
+        vs_baseline=round(flops_mega / t_mega / 1e12 / BF16_PEAK, 3))
+
     # ---- headline (round-1-comparable) ----------------------------------
     geo_tf = math.exp(sum(math.log(x) for x in tflops) / len(tflops))
     geo_sp = math.exp(sum(math.log(x) for x in speedups) / len(speedups))
