@@ -295,7 +295,8 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
         cfg = get_gemm_config(m, n, k, a.dtype, b.dtype, out_dtype,
                               gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
                               num_groups=num_groups, is_grouped_m=True,
-                              mk_alignment=bm_align)
+                              mk_alignment=bm_align,
+                              scale_strategy='promote' if is_scaled else None)
     spec = GroupedGemmSpec(
         kind='contiguous', num_groups=num_groups, m=m, n=n, k=k,
         b_kmajor=b_kmajor, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
@@ -332,7 +333,8 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
         cfg = get_gemm_config(expected_m or max_m, n, k, a.dtype, b.dtype, out_dtype,
                               gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
                               num_groups=num_groups, is_grouped_m=True,
-                              mk_alignment=min(128, max(32, align(expected_m or max_m, 32))))
+                              mk_alignment=min(128, max(32, align(expected_m or max_m, 32))),
+                              scale_strategy='promote' if is_scaled else None)
     spec = GroupedGemmSpec(
         kind='masked', num_groups=num_groups, m=max_m, n=n, k=k,
         b_kmajor=True, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
