@@ -122,3 +122,37 @@ def test_mega_moe_heuristics():
                                intermediate=128, num_experts=4,
                                num_ranks=2, topk=2, capacity=16)
     assert tiny.num_chunks == 1    # chunks can't go below _MIN_CHUNK_ROWS
+
+
+def test_wrappers_route_scale_strategy(monkeypatch):
+    """Regression guard for the 164-vs-170 bug: the grouped wrappers MUST
+    tell the config search the call is scaled, or FP8 configs get ranked by
+    the bf16 comparator (wide-bn-first instead of single-k-step)."""
+    import deepgemm_tpu as dg
+    import numpy as np
+    from deepgemm_tpu.kernels import grouped as G
+
+    captured = []
+    real = G.get_gemm_config
+
+    def spy(*a, **kw):
+        captured.append(kw.get('scale_strategy'))
+        return real(*a, **kw)
+    monkeypatch.setattr(G, 'get_gemm_config', spy)
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(128, 256), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(2, 128, 256), jnp.bfloat16)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+    bq = jnp.stack([dg.per_block_cast_to_fp8(b[g], use_ue8m0=False)[0]
+                    for g in range(2)])
+    bsf = jnp.stack([dg.per_block_cast_to_fp8(b[g], use_ue8m0=False)[1]
+                     for g in range(2)])
+    ids = jnp.repeat(jnp.arange(2, dtype=jnp.int32), 64)
+    dg.m_grouped_fp8_gemm_nt_contiguous((aq, asf), (bq, bsf),
+                                        grouped_layout=ids)
+    aq3 = aq.reshape(2, 64, 256)
+    asf3 = asf.reshape(2, 64, -1)
+    dg.m_grouped_fp8_gemm_nt_masked((aq3, asf3), (bq, bsf),
+                                    masked_m=jnp.asarray([64, 64], jnp.int32))
+    assert captured and all(s == 'promote' for s in captured), captured
