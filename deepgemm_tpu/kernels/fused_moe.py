@@ -213,14 +213,15 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
     if scaled:
         (send_ref, sfsend_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
          combine_ref, recv_ref, sfrecv_ref, ystage_ref,
-         x_vmem, xsf_vmem, act_vmem, actsf_vmem, y_vmem,
-         copy_sem, send_sems, recv_sems, sf_send_sems, sf_recv_sems,
-         ysend_sems, yrecv_sems) = args
+         x_vmem, xsf_vmem, act_vmem, actsf_vmem, y_tile,
+         copy_sem, ycopy_sems, send_sems, recv_sems,
+         sf_send_sems, sf_recv_sems, ysend_sems, yrecv_sems) = args
     else:
         (send_ref, rw_ref, w1_ref, w2_ref,
          combine_ref, recv_ref, ystage_ref,
-         x_vmem, act_vmem, y_vmem,
-         copy_sem, send_sems, recv_sems, ysend_sems, yrecv_sems) = args
+         x_vmem, act_vmem, y_tile,
+         copy_sem, ycopy_sems, send_sems, recv_sems,
+         ysend_sems, yrecv_sems) = args
     s = pl.program_id(0)
     e = pl.program_id(1)
     t = pl.program_id(2)
@@ -338,16 +339,32 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
         else:
             act_vmem[:, pl.ds(col0, bn1)] = act.astype(jnp.bfloat16)
 
+    def _ycopy(j, slot):
+        # local HBM write of one finished y tile (double-buffered: a full
+        # (cap, H) y buffer at serving dims costs ~2 MiB of VMEM that the
+        # L1 weight tiles need more)
+        return pltpu.make_async_copy(
+            y_tile.at[slot],
+            ystage_ref.at[s, e, :, pl.ds(j * bh2, bh2)],
+            ycopy_sems.at[slot])
+
     @pl.when(t >= nt1)
     def _l2():
         # L2 output tile from the full VMEM act buffer (:1144-1233).
         j2 = jnp.clip(t - nt1, 0, nt2 - 1)
+        slot = jax.lax.rem(j2, 2)
+        if nt2 > 2:
+            @pl.when(j2 >= 2)
+            def _():
+                # same-parity buffer reuse: its copy must have drained
+                _ycopy(j2 - 2, slot).wait()
         if scaled:
             y = _pdot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
                       w2sf_ref[0])
         else:
             y = _dot(act_vmem[:], w2_ref[0])
-        y_vmem[:, pl.ds(j2 * bh2, bh2)] = y.astype(jnp.bfloat16)
+        y_tile[pl.ds(slot, 1)] = y.astype(jnp.bfloat16)[None]
+        _ycopy(j2, slot).start()
 
     @pl.when(t == t_last)
     def _push():
@@ -356,9 +373,9 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
         # slot [my, e] (sender-rank-indexed — the same layout the unfused
         # path's reverse all-to-all produces). The push overlaps the next
         # (s, e) step's MXU work; drained at the final grid step.
-        stage = pltpu.make_async_copy(y_vmem, ystage_ref.at[s, e], copy_sem)
-        stage.start()
-        stage.wait()
+        _ycopy(nt2 - 1, (nt2 - 1) % 2).wait()
+        if nt2 >= 2:
+            _ycopy(nt2 - 2, (nt2 - 2) % 2).wait()
 
         @pl.when(s == 0)
         def _():
@@ -452,14 +469,14 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         e += (b2 * inter * wb) * 2              # w2 tile
         e += cap * hidden * xb                  # x staging
         e += cap * inter * (1 if scaled else 2)  # act
-        e += cap * hidden * 2                   # y
+        e += 2 * cap * b2 * 2                   # y tile double buffer
         if scaled:
             ksf1_ = ((hidden // gran_k + 127) // 128) * 128
             e += cap * ksf1_ * 4 + (inter // gran_k) * cap * 4
             e += 2 * (hidden // gran_k) * b1 * 4 * 2
             e += (inter // gran_k) * b2 * 4 * 2
         return e
-    budget = 10 * 1024 * 1024
+    budget = 10 * 1024 * 1024 + 512 * 1024
     while _est(bn1, bh2) > budget and max(bn1, bh2) > 128:
         if bn1 * 2 * hidden >= bh2 * inter and bn1 > 128:
             bn1 //= 2
@@ -546,8 +563,9 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         # k-step-leading act scales (see the in-kernel store comment)
         scratch.append(pltpu.VMEM((inter // gran_k, cap, 1), jnp.float32))
     scratch += [
-        pltpu.VMEM((cap, hidden), jnp.bfloat16),               # y
+        pltpu.VMEM((2, cap, bh2), jnp.bfloat16),               # y tiles
         pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2,)),                         # y tile copies
         pltpu.SemaphoreType.DMA((num_devices,)),
         pltpu.SemaphoreType.DMA((num_devices,)),
     ]
