@@ -129,7 +129,9 @@ def _build_contiguous(spec: GroupedGemmSpec):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+            # m/n tiles are independent (only k accumulates) — 'parallel'
+            # lets Mosaic schedule them like the dense kernel does
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
         ),
         cost_estimate=pl.CostEstimate(flops=2 * m * n * k, bytes_accessed=0,
                                       transcendentals=0),
@@ -212,7 +214,7 @@ def _build_masked(spec: GroupedGemmSpec):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g, mm, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary', 'arbitrary'),
+            dimension_semantics=('parallel', 'parallel', 'parallel', 'arbitrary'),
         ),
         cost_estimate=pl.CostEstimate(flops=2 * g * mm * n * k, bytes_accessed=0,
                                       transcendentals=0),

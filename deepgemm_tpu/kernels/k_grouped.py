@@ -139,7 +139,7 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((spec.num_groups, m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
         ),
         cost_estimate=pl.CostEstimate(flops=2 * m * n * tk, bytes_accessed=0,
                                       transcendentals=0),
