@@ -38,6 +38,18 @@ def k_grouped_fp8_gemm_tn_contiguous(a, b, d=None, ks=None, grouped_layout=None,
 
     sfa_t = sfa.astype(jnp.float32) if sfa is not None else None     # [nsf, m]
     sfb_t = sfb.astype(jnp.float32) if sfb is not None else None     # [nsf, n]
+    if sfa_t is not None and ks is not None:
+        # Loud shape gate: SFs are k-first, group-compacted [nsf_total, dim]
+        # (tests/generators.py:411-433). A transposed SF slips through the
+        # kernel's BlockSpecs and computes garbage silently.
+        nsf_expect = sum((int(kg) + gran_k - 1) // gran_k for kg in ks)
+        m_dim, n_dim = a_val.shape[1], b_val.shape[1]
+        assert sfa_t.shape == (nsf_expect, m_dim), \
+            f'sfa_t must be k-first [nsf_total={nsf_expect}, m={m_dim}], ' \
+            f'got {sfa_t.shape}'
+        assert sfb_t.shape == (nsf_expect, n_dim), \
+            f'sfb_t must be k-first [nsf_total={nsf_expect}, n={n_dim}], ' \
+            f'got {sfb_t.shape}'
     return k_grouped_gemm(a_val, b_val, c, grouped_layout,
                           use_psum_layout=use_psum_layout,
                           sfa_t=sfa_t, sfb_t=sfb_t, gran_k=gran_k,

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Real-TPU smoke drive of the library surface — the scripted form of the
+repo's verify recipe (.claude/skills/verify/SKILL.md). Runs the headline op
+families once each against host oracles and prints one PASS/FAIL line per
+probe. Minutes on a cold compile cache, seconds warm.
+
+Usage: python scripts/tpu_smoke.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import deepgemm_tpu as dg
+    from deepgemm_tpu.testing import calc_diff
+    dg.init_persistent_cache()
+    rng = np.random.RandomState(0)
+    failures = []
+
+    def check(name, diff, tol):
+        ok = diff < tol
+        print(f'{"PASS" if ok else "FAIL"}  {name}: diff={diff:.2e} '
+              f'(tol {tol:g})', flush=True)
+        if not ok:
+            failures.append(name)
+
+    print(f'backend: {jax.default_backend()}', flush=True)
+    t0 = time.perf_counter()
+
+    # dense fp8, both scale flows
+    a = jnp.asarray(rng.randn(512, 1024), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(768, 1024), jnp.bfloat16)
+    ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32).T
+    d = dg.fp8_gemm_nt(dg.per_token_cast_to_fp8(a, use_ue8m0=False),
+                       dg.per_block_cast_to_fp8(b, use_ue8m0=False))
+    check('fp8_gemm_nt promote', calc_diff(d, ref), 1e-3)
+    aq = dg.per_token_cast_to_fp8(a, use_ue8m0=True, use_packed_ue8m0=True)
+    bq = dg.per_block_cast_to_fp8(b, use_ue8m0=True)
+    d = dg.fp8_gemm_nt(aq, bq, recipe=(1, 128, 128))
+    check('fp8_gemm_nt packed-ue8m0', calc_diff(d, ref), 1e-3)
+
+    # grouped contiguous fp8
+    ids = jnp.repeat(jnp.arange(4, dtype=jnp.int32), 128)
+    ag = jnp.asarray(rng.randn(512, 512), jnp.bfloat16)
+    agq, agsf = dg.per_token_cast_to_fp8(ag, use_ue8m0=False)
+    bgs = [dg.per_block_cast_to_fp8(
+        jnp.asarray(rng.randn(256, 512) * 0.1, jnp.bfloat16),
+        use_ue8m0=False) for _ in range(4)]
+    bgq = jnp.stack([x[0] for x in bgs])
+    bgsf = jnp.stack([x[1] for x in bgs])
+    dgr = dg.m_grouped_fp8_gemm_nt_contiguous((agq, agsf), (bgq, bgsf),
+                                              grouped_layout=ids)
+    g0 = np.asarray(agq, np.float32)[:128] * np.repeat(
+        np.asarray(agsf), 128, 1)[:128, :512]
+    b0 = np.asarray(bgq[0], np.float32) * np.repeat(np.repeat(
+        np.asarray(bgsf[0]), 128, 0), 128, 1)[:256, :512]
+    check('m_grouped_fp8 contiguous', calc_diff(dgr[:128], g0 @ b0.T), 1e-3)
+
+    # k-grouped wgrad
+    tk, mm, nn = 512, 256, 384
+    ak = jnp.asarray(rng.randn(tk, mm) * 0.1, jnp.bfloat16)
+    bk_ = jnp.asarray(rng.randn(tk, nn) * 0.1, jnp.bfloat16)
+    akq, aksf = dg.per_channel_cast_to_fp8(ak, use_ue8m0=False)
+    bkq, bksf = dg.per_channel_cast_to_fp8(bk_, use_ue8m0=False)
+    ck = jnp.zeros((2, mm, nn), jnp.float32)
+    dk = dg.k_grouped_fp8_gemm_tn_contiguous((akq, aksf), (bkq, bksf),
+                                             ks=[256, 256], c=ck)
+    ad = np.asarray(akq, np.float32) * np.repeat(np.asarray(aksf), 128, 0)[:tk]
+    bd = np.asarray(bkq, np.float32) * np.repeat(np.asarray(bksf), 128, 0)[:tk]
+    check('k_grouped_fp8 wgrad', calc_diff(dk[0], ad[:256].T @ bd[:256]), 2e-4)
+
+    # MQA prefill + paged decode
+    sq, skv, h, dh = 64, 256, 4, 64
+    q = jnp.asarray(rng.randn(sq, h, dh), jnp.bfloat16)
+    kv = jnp.asarray(rng.randn(skv, dh), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(sq, h).astype(np.float32))
+    ks = jnp.zeros((sq,), jnp.int32)
+    ke = jnp.asarray((np.arange(sq) + (skv - sq)).astype(np.int32))
+    q8 = jnp.clip(q.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    kv8, kvsf = dg.per_custom_dims_cast_to_fp8(kv, (0,), use_ue8m0=False)
+    lg = dg.fp8_mqa_logits((q8, None), (kv8, kvsf), w, ks, ke)
+    score = np.einsum('mhd,nd->hmn',
+                      np.asarray(q8, np.float32),
+                      np.asarray(kv8, np.float32) * np.asarray(kvsf)[:, None])
+    refl = np.einsum('hmn,mh->mn', np.maximum(score, 0), np.asarray(w))
+    cols = np.arange(skv)
+    mask = (cols[None] >= 0) & (cols[None] < np.asarray(ke)[:, None])
+    check('fp8_mqa_logits', calc_diff(
+        np.where(mask, np.asarray(lg), 0), np.where(mask, refl, 0)), 1e-4)
+
+    B, bkv, bps = 3, 64, 3
+    mml = bkv * bps
+    nb = B * bps
+    kvv = jnp.clip(jnp.asarray(rng.randn(nb, bkv, dh), jnp.float32),
+                   -448, 448).astype(jnp.float8_e4m3fn)
+    kvs = jnp.asarray(rng.rand(nb, bkv).astype(np.float32))
+    bt = jnp.asarray(rng.permutation(nb).reshape(B, bps), jnp.int32)
+    ctx = jnp.asarray(rng.randint(8, mml, B), jnp.int32)
+    qp = jnp.clip(jnp.asarray(rng.randn(B, 1, h, dh), jnp.float32),
+                  -448, 448).astype(jnp.float8_e4m3fn)
+    wp = jnp.asarray(rng.randn(B, h).astype(np.float32))
+    lgp = dg.fp8_fp4_paged_mqa_logits((qp, None), (kvv, kvs), wp, ctx, bt,
+                                      max_context_len=mml)
+    i = 0
+    kvseq = (np.asarray(kvv, np.float32) *
+             np.asarray(kvs)[:, :, None])[np.asarray(bt)[i]].reshape(-1, dh)
+    sc = np.maximum(np.asarray(qp, np.float32)[i, 0] @ kvseq.T, 0)
+    vr = (np.asarray(wp)[i][:, None] * sc).sum(0)
+    msk = np.arange(mml) < int(ctx[i])
+    check('fp8_paged_mqa_logits', calc_diff(
+        np.where(msk, np.asarray(lgp)[i], 0), np.where(msk, vr, 0)), 1e-4)
+
+    print(f'total {time.perf_counter() - t0:.0f}s; '
+          f'{"ALL PASS" if not failures else "FAILURES: " + str(failures)}',
+          flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -99,3 +99,20 @@ def test_k_grouped_nt_flattened():
         (a_flat, a_sf.T), (b_flat, b_sf.T), ks=ks, grouped_layout=ks_arr, c=c)
     for g in range(num_groups):
         assert calc_diff(d[g], ref_d[g]) < 1e-3, g
+
+
+def test_k_grouped_rejects_transposed_sf():
+    """The SF shape gate must reject MN-first (transposed) scale tensors
+    loudly — a transposed SF otherwise slips through the kernel BlockSpecs
+    and computes garbage silently (caught live by scripts/tpu_smoke.py)."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    tk, mm, nn = 512, 256, 384
+    ak = jnp.asarray(rng.randn(tk, mm) * 0.1, jnp.bfloat16)
+    bk_ = jnp.asarray(rng.randn(tk, nn) * 0.1, jnp.bfloat16)
+    akq, aksf = dg.per_channel_cast_to_fp8(ak, use_ue8m0=False)
+    bkq, bksf = dg.per_channel_cast_to_fp8(bk_, use_ue8m0=False)
+    c = jnp.zeros((2, mm, nn), jnp.float32)
+    with pytest.raises(AssertionError, match='k-first'):
+        dg.k_grouped_fp8_gemm_tn_contiguous((akq, aksf.T), (bkq, bksf.T),
+                                            ks=[256, 256], c=c)
