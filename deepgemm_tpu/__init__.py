@@ -105,6 +105,7 @@ from .parallel.mega import (
     get_symm_buffer_size_for_mega_moe,
     get_token_alignment_for_mega_moe, get_ring_limit_for_mega_moe,
 )
+from .kernels.fused_moe import pack_mega_weights, MegaPackedWeights
 # reference Python-level name (deep_gemm/__init__.py:85-91)
 get_symm_buffer_for_mega_moe = SymmBuffer
 

@@ -23,6 +23,7 @@ Correctness on CPU meshes runs under the distributed Pallas interpreter
 (threads + simulated DMA), so the semaphore protocol is exercised in tests.
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -195,6 +196,61 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
     return res[0], res[1]
 
 
+def _promote_dot(xq, wq, sfa_at, wsf, gran_k):
+    # Exact f32 promote over gran_k sub-blocks — same term ordering as
+    # kernels/common.py:promote_block so results match the unfused
+    # masked-kernel path bitwise when block_k covers k. ``sfa_at(c)``
+    # yields the chunk's per-row (cap, 1) scale column.
+    total = None
+    for c in range(xq.shape[1] // gran_k):
+        p = jax.lax.dot_general(
+            xq[:, c * gran_k:(c + 1) * gran_k],
+            wq[:, c * gran_k:(c + 1) * gran_k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        term = (p * wsf[c:c + 1, :]) * sfa_at(c)
+        total = term if total is None else total + term
+    return total
+
+
+def _plain_dot(xv, wv):
+    return jax.lax.dot_general(
+        xv, wv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
+                 gran_k, clamp):
+    """SwiGLU + topk weight (+in-kernel FP8 requant) from the merged
+    (cap, 2*bn1) gate|up dot result — the epilogue the reference fuses at
+    sm100_fp8_fp4_mega_moe.cuh:938-1132. Shared by the general (RDMA) and
+    D=1 local kernels so the two are bitwise-identical."""
+    gate, up = gu[:, :bn1], gu[:, bn1:]
+    # Mirror the unfused dataflow bit-for-bit: the masked L1 kernel emits
+    # bf16, swiglu consumes it in f32 (parallel/moe.py:swiglu_apply_weight)
+    gate = gate.astype(jnp.bfloat16).astype(jnp.float32)
+    up = up.astype(jnp.bfloat16).astype(jnp.float32)
+    act = jnp.clip(jax.nn.silu(gate) * up, -clamp, clamp) * rw_col
+    if scaled:
+        # In-kernel per-token (1, gran_k) FP8 requant — exact semantics of
+        # utils/math.py:per_token_cast_to_fp8 from bf16 values.
+        v = act.astype(jnp.bfloat16)
+        for c in range(bn1 // gran_k):
+            chunk = v[:, c * gran_k:(c + 1) * gran_k]
+            amax = jnp.clip(jnp.max(jnp.abs(chunk).astype(jnp.float32),
+                                    axis=1, keepdims=True), 1e-4, None)
+            sf = amax / 448.0
+            q = jnp.clip(chunk * (1.0 / sf),
+                         -448.0, 448.0).astype(jnp.float8_e4m3fn)
+            act_vmem[:, pl.ds(col0 + c * gran_k, gran_k)] = q
+            # act scales live with the k-step as the LEADING (untiled)
+            # dim: a dynamic lane-dim column store is Mosaic-illegal on
+            # real TPU (interpret mode accepts it — the known trap).
+            actsf_vmem[pl.ds(col0 // gran_k + c, 1)] = sf[None]
+    else:
+        act_vmem[:, pl.ds(col0, bn1)] = act.astype(jnp.bfloat16)
+
+
 def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                  e_local: int, nt1: int, nt2: int, bn1: int, bh2: int,
                  gran_k: int = 128, clamp: float = 256.0):
@@ -282,62 +338,24 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
             ssf.start()
             ssf.wait()
 
-    def _pdot(xq, wq, sfa_at, wsf):
-        # Exact f32 promote over gran_k sub-blocks — same term ordering as
-        # kernels/common.py:promote_block so results match the unfused
-        # masked-kernel path bitwise when block_k covers k. ``sfa_at(c)``
-        # yields the chunk's per-row (cap, 1) scale column.
-        total = None
-        for c in range(xq.shape[1] // gran_k):
-            p = jax.lax.dot_general(
-                xq[:, c * gran_k:(c + 1) * gran_k],
-                wq[:, c * gran_k:(c + 1) * gran_k],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            term = (p * wsf[c:c + 1, :]) * sfa_at(c)
-            total = term if total is None else total + term
-        return total
-
-    def _dot(xv, wv):
-        return jax.lax.dot_general(
-            xv, wv, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
     @pl.when(t < nt1)
     def _l1():
-        # Paired gate/up tiles -> SwiGLU + topk weight (+FP8 requant):
-        # the epilogue the reference fuses at :938-1132.
+        # Tile-paired gate|up L1: ONE dot of n = 2*bn1 against the host-paired
+        # w1 tile (gate rows then up rows of the same n-tile) replaces the two
+        # bn1-wide dots — half the dot launches, same column values bitwise
+        # (rows/cols of a dot are independent; the k-chunk accumulate order is
+        # unchanged).
         col0 = jnp.minimum(t, nt1 - 1) * bn1
         if scaled:
-            sfa_at = lambda c: xsf_vmem[:, c:c + 1]
-            gate = _pdot(x_vmem[:], w1_ref[0, 0], sfa_at, w1sf_ref[0, 0])
-            up = _pdot(x_vmem[:], w1_ref[0, 1], sfa_at, w1sf_ref[0, 1])
+            gu = _promote_dot(x_vmem[:], w1_ref[0, 0],
+                              lambda c: xsf_vmem[:, c:c + 1],
+                              w1sf_ref[0, 0], gran_k)
         else:
-            gate = _dot(x_vmem[:], w1_ref[0, 0])
-            up = _dot(x_vmem[:], w1_ref[0, 1])
-        # Mirror the unfused dataflow bit-for-bit: the masked L1 kernel emits
-        # bf16, swiglu consumes it in f32 (parallel/moe.py:swiglu_apply_weight)
-        gate = gate.astype(jnp.bfloat16).astype(jnp.float32)
-        up = up.astype(jnp.bfloat16).astype(jnp.float32)
-        act = jnp.clip(jax.nn.silu(gate) * up, -clamp, clamp) * rw_ref[0, 0]
-        if scaled:
-            # In-kernel per-token (1, gran_k) FP8 requant — exact semantics of
-            # utils/math.py:per_token_cast_to_fp8 from bf16 values.
-            v = act.astype(jnp.bfloat16)
-            for c in range(bn1 // gran_k):
-                chunk = v[:, c * gran_k:(c + 1) * gran_k]
-                amax = jnp.clip(jnp.max(jnp.abs(chunk).astype(jnp.float32),
-                                        axis=1, keepdims=True), 1e-4, None)
-                sf = amax / 448.0
-                q = jnp.clip(chunk * (1.0 / sf),
-                             -448.0, 448.0).astype(jnp.float8_e4m3fn)
-                act_vmem[:, pl.ds(col0 + c * gran_k, gran_k)] = q
-                # act scales live with the k-step as the LEADING (untiled)
-                # dim: a dynamic lane-dim column store is Mosaic-illegal on
-                # real TPU (interpret mode accepts it — the known trap).
-                actsf_vmem[pl.ds(col0 // gran_k + c, 1)] = sf[None]
-        else:
-            act_vmem[:, pl.ds(col0, bn1)] = act.astype(jnp.bfloat16)
+            gu = _plain_dot(x_vmem[:], w1_ref[0, 0])
+        _l1_epilogue(gu, rw_ref[0, 0], act_vmem,
+                     actsf_vmem if scaled else None,
+                     bn1=bn1, col0=col0, scaled=scaled, gran_k=gran_k,
+                     clamp=clamp)
 
     def _ycopy(j, slot):
         # local HBM write of one finished y tile (double-buffered: a full
@@ -359,10 +377,10 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                 # same-parity buffer reuse: its copy must have drained
                 _ycopy(j2 - 2, slot).wait()
         if scaled:
-            y = _pdot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
-                      w2sf_ref[0])
+            y = _promote_dot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
+                             w2sf_ref[0], gran_k)
         else:
-            y = _dot(act_vmem[:], w2_ref[0])
+            y = _plain_dot(act_vmem[:], w2_ref[0])
         y_tile[pl.ds(slot, 1)] = y.astype(jnp.bfloat16)[None]
         _ycopy(j2, slot).start()
 
@@ -415,14 +433,243 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                 waiter.wait()
 
 
+def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
+                       gran_k: int, clamp: float):
+    """D=1 specialization of the mega kernel: no peers means no RDMA, no recv
+    pool, no staging copies. x/xsf/rw/weights all arrive as prefetched
+    BlockSpec tiles and y tiles write back through the output BlockSpec —
+    Mosaic pipelines every transfer under the MXU work. The compute sequence
+    (_promote_dot + _l1_epilogue) is shared with the general kernel, so the
+    two are bitwise-identical at D=1."""
+    if scaled:
+        (x_ref, xsf_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
+         y_ref, act_vmem, actsf_vmem) = args
+    else:
+        (x_ref, rw_ref, w1_ref, w2_ref, y_ref, act_vmem) = args
+        actsf_vmem = None
+    t = pl.program_id(1)
+
+    @pl.when(t < nt1)
+    def _l1():
+        col0 = jnp.minimum(t, nt1 - 1) * bn1
+        if scaled:
+            gu = _promote_dot(x_ref[0], w1_ref[0, 0],
+                              lambda c: xsf_ref[0][:, c:c + 1],
+                              w1sf_ref[0, 0], gran_k)
+        else:
+            gu = _plain_dot(x_ref[0], w1_ref[0, 0])
+        _l1_epilogue(gu, rw_ref[0], act_vmem, actsf_vmem,
+                     bn1=bn1, col0=col0, scaled=scaled, gran_k=gran_k,
+                     clamp=clamp)
+
+    @pl.when(t >= nt1)
+    def _l2():
+        if scaled:
+            y = _promote_dot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
+                             w2sf_ref[0], gran_k)
+        else:
+            y = _plain_dot(act_vmem[:], w2_ref[0])
+        y_ref[0] = y.astype(jnp.bfloat16)
+
+
+def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
+                     inter, e_local, nt1, nt2, bn1, bh2, gran_k, clamp,
+                     scaled, interpret):
+    """Build + run the D=1 local mega kernel. Returns y [E_local, cap, H]."""
+    kernel = functools.partial(
+        _mega_kernel_local, scaled=scaled, nt1=nt1, nt2=nt2, bn1=bn1,
+        gran_k=gran_k, clamp=clamp)
+    in_specs = [pl.BlockSpec((1, cap, hidden), lambda e, t: (e, 0, 0),
+                             memory_space=pltpu.VMEM)]         # x
+    inputs = [x]
+    if scaled:
+        in_specs.append(pl.BlockSpec((1, cap, xsf.shape[-1]),
+                                     lambda e, t: (e, 0, 0),
+                                     memory_space=pltpu.VMEM))  # x scales
+        inputs.append(xsf)
+    in_specs.append(pl.BlockSpec((1, cap, 1), lambda e, t: (e, 0, 0),
+                                 memory_space=pltpu.VMEM))      # row weights
+    inputs.append(rw3)
+    in_specs.append(pl.BlockSpec(
+        (1, 1, 2 * bn1, hidden),
+        lambda e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
+        memory_space=pltpu.VMEM))                               # w1 paired
+    inputs.append(w1p)
+    if scaled:
+        ksf1 = hidden // gran_k
+        in_specs.append(pl.BlockSpec(
+            (1, 1, ksf1, 2 * bn1),
+            lambda e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
+            memory_space=pltpu.VMEM))
+        inputs.append(w1sf_t)
+    in_specs.append(pl.BlockSpec(
+        (1, bh2, inter),
+        lambda e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1), 0),
+        memory_space=pltpu.VMEM))                               # w2
+    inputs.append(w2)
+    if scaled:
+        ksf2 = inter // gran_k
+        in_specs.append(pl.BlockSpec(
+            (1, ksf2, bh2),
+            lambda e, t: (e, 0, jnp.clip(t - nt1, 0, nt2 - 1)),
+            memory_space=pltpu.VMEM))
+        inputs.append(w2sf_t)
+    out_spec = pl.BlockSpec(
+        (1, cap, bh2), lambda e, t: (e, 0, jnp.clip(t - nt1, 0, nt2 - 1)),
+        memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((cap, inter),
+                          jnp.float8_e4m3fn if scaled else jnp.bfloat16)]
+    if scaled:
+        scratch.append(pltpu.VMEM((inter // gran_k, cap, 1), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(e_local, nt1 + nt2),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((e_local, cap, hidden), jnp.bfloat16),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary'),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MegaPackedWeights:
+    """Load-time weight transform for the fused mega kernel — the TPU analog
+    of the reference's `transform_weights_for_mega_moe` one-shot layout pass
+    (/root/reference/deep_gemm/mega/__init__.py:115-151). The tile-paired w1
+    repack is a ~2x-weight-bytes HBM transpose: done per-call inside a jitted
+    serving/training step it costs more than the kernel saves (measured: the
+    in-loop repack dropped the D=1 serving-dims kernel from 143 to 61
+    TFLOPS), so pack ONCE at weight-load time and pass the result to
+    ``fused_mega_moe(packed=...)``."""
+    w1p: jnp.ndarray                 # [E, nt1, 2*bn1, H] tile-paired gate|up
+    w2: jnp.ndarray                  # [E, H, I] (unchanged layout)
+    w1sf_t: object                   # [E, nt1, ksf1, 2*bn1] f32 or None
+    w2sf_t: object                   # [E, ksf2, H] f32 or None
+    bn1: int = dataclasses.field(metadata=dict(static=True), default=0)
+    bh2: int = dataclasses.field(metadata=dict(static=True), default=0)
+    gran_k: int = dataclasses.field(metadata=dict(static=True), default=128)
+
+
+def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
+                      w1_sf=None, w2_sf=None, *, cap: int,
+                      x_dtype=jnp.float8_e4m3fn, num_devices: int = 1,
+                      block_n: int = 0, block_h: int = 0,
+                      gran_k: int = 128) -> MegaPackedWeights:
+    """Pack mega-MoE weights into the fused kernel's preferred layout ONCE
+    (at load time). ``cap``/``x_dtype``/``num_devices`` must match the later
+    forward calls — they determine the VMEM-aware tile pick."""
+    e_local, two_i, hidden = w1.shape
+    inter = two_i // 2
+    assert w2.shape == (e_local, hidden, inter), (w2.shape,)
+    scaled = w1_sf is not None
+    bn1, bh2 = pick_mega_tiles(
+        hidden, inter, cap, xb=jnp.dtype(x_dtype).itemsize,
+        wb=jnp.dtype(w1.dtype).itemsize, scaled=scaled, gran_k=gran_k,
+        block_n=block_n, block_h=block_h, local=num_devices == 1)
+    nt1 = inter // bn1
+    w1p = w1.reshape(e_local, 2, nt1, bn1, hidden) \
+        .transpose(0, 2, 1, 3, 4).reshape(e_local, nt1, 2 * bn1, hidden)
+    w1sf_t = w2sf_t = None
+    if scaled:
+        ksf1 = hidden // gran_k
+        w1sf_rows = jnp.repeat(w1_sf.astype(jnp.float32), gran_k,
+                               axis=1)[:, :two_i]
+        w1sf_t = w1sf_rows.transpose(0, 2, 1) \
+            .reshape(e_local, ksf1, 2, nt1, bn1) \
+            .transpose(0, 3, 1, 2, 4) \
+            .reshape(e_local, nt1, ksf1, 2 * bn1)
+        w2sf_t = jnp.repeat(w2_sf.astype(jnp.float32), gran_k,
+                            axis=1)[:, :hidden].transpose(0, 2, 1)
+    return MegaPackedWeights(w1p=w1p, w2=w2, w1sf_t=w1sf_t, w2sf_t=w2sf_t,
+                             bn1=bn1, bh2=bh2, gran_k=gran_k)
+
+
+def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
+                    scaled: bool, gran_k: int = 128,
+                    block_n: int = 0, block_h: int = 0,
+                    budget: int = 0, local: bool = False):
+    """VMEM-aware (bn1, bh2) tile pick for the fused mega kernel.
+
+    At serving dims (H 7168, I 2048, cap 128, bn1 = bh2 = 256) the working
+    set overflows the ~16 MiB scoped VMEM (measured 16.6M alloc); shrink the
+    wider weight tile until the estimate fits a conservative budget (Mosaic's
+    allocator adds ~40% overhead on top of the raw block bytes here).
+
+    Every candidate must DIVIDE its axis and stay a multiple of the requant
+    granularity / lane tile — naive halving can produce bn1 violating
+    ``bn1 % gran_k == 0`` or ``inter % bn1 == 0`` (e.g. inter 640:
+    640 -> 320 -> 160), silently leaving stale act_vmem columns for the L2
+    GEMM (ADVICE r2).
+
+    ``local=True`` is the D=1 kernel: no recv pool / staging scratch, so the
+    budget is higher and wider L2 tiles pay (serving dims measured on v5e:
+    (256, 512) = 150.3 TFLOPS vs (256, 256) = 143.0).
+    """
+    if block_n <= 0:
+        block_n = 256
+    if block_h <= 0:
+        block_h = 512 if local else 256
+    if budget <= 0:
+        budget = (12 * 1024 * 1024 + 512 * 1024 if local
+                  else 10 * 1024 * 1024 + 512 * 1024)
+    bn1 = block_n if inter % block_n == 0 else inter
+    bh2 = block_h if hidden % block_h == 0 else hidden
+    if scaled:
+        assert bn1 % gran_k == 0, bn1
+
+    def _est(b1, b2):
+        e = (2 * b1 * hidden * wb) * 2          # w1 gate/up pair, dbl-buffered
+        e += (b2 * inter * wb) * 2              # w2 tile
+        # x: one staging buffer (general) / a double-buffered BlockSpec (local)
+        e += cap * hidden * xb * (2 if local else 1)
+        e += cap * inter * (1 if scaled else 2)  # act
+        e += 2 * cap * b2 * 2                   # y tile double buffer
+        if scaled:
+            ksf1_ = ((hidden // gran_k + 127) // 128) * 128
+            e += cap * ksf1_ * 4 * (2 if local else 1) \
+                + (inter // gran_k) * cap * 4
+            e += 2 * (hidden // gran_k) * b1 * 4 * 2
+            e += (inter // gran_k) * b2 * 4 * 2
+        return e
+
+    def _shrink_div(cur, total, quantum):
+        # largest value < cur that divides `total` and is a multiple of
+        # `quantum`
+        for cand in range(cur - quantum, quantum - 1, -quantum):
+            if total % cand == 0:
+                return cand
+        return None
+
+    q1 = gran_k if scaled else 128
+    while _est(bn1, bh2) > budget:
+        s1 = _shrink_div(bn1, inter, q1) if bn1 % q1 == 0 else None
+        s2 = _shrink_div(bh2, hidden, 128) if bh2 % 128 == 0 else None
+        if s1 is not None and (s2 is None or bn1 * 2 * hidden >= bh2 * inter):
+            bn1 = s1
+        elif s2 is not None:
+            bh2 = s2
+        else:
+            break
+    assert inter % bn1 == 0 and hidden % bh2 == 0, (bn1, bh2, inter, hidden)
+    if scaled:
+        assert bn1 % gran_k == 0, (bn1, gran_k)
+    return bn1, bh2
+
+
 def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
-                   w1: jnp.ndarray, w2: jnp.ndarray,
+                   w1: jnp.ndarray = None, w2: jnp.ndarray = None,
                    axis_name: str = 'ep', *,
                    send_sf: jnp.ndarray = None,
                    w1_sf: jnp.ndarray = None, w2_sf: jnp.ndarray = None,
-                   block_n: int = 256, block_h: int = 256,
+                   block_n: int = 0, block_h: int = 0,
                    collective_id: int = 8, clamp: float = 256.0,
-                   gran_k: int = 128) -> jnp.ndarray:
+                   gran_k: int = 128, packed: MegaPackedWeights = None,
+                   force_general: bool = False) -> jnp.ndarray:
     """Fully-fused mega MoE forward (inside shard_map over ``axis_name``):
     EP dispatch + L1 GEMM + SwiGLU/topk-weight (+FP8 requant) + L2 GEMM +
     EP combine push, in ONE Pallas kernel — the TPU analog of the reference's
@@ -445,58 +692,60 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
     num_devices = int(jax.lax.psum(1, axis_name))
     d_dim, e_local, cap, hidden = send_x.shape
     assert d_dim == num_devices, (send_x.shape, num_devices)
-    two_i = w1.shape[1]
-    inter = two_i // 2
-    assert w1.shape == (e_local, two_i, hidden), (w1.shape,)
-    assert w2.shape == (e_local, hidden, inter), (w2.shape,)
+    if packed is not None:
+        inter = packed.w2.shape[-1]
+        two_i = 2 * inter
+    else:
+        two_i = w1.shape[1]
+        inter = two_i // 2
+        assert w1.shape == (e_local, two_i, hidden), (w1.shape,)
+        assert w2.shape == (e_local, hidden, inter), (w2.shape,)
     scaled = send_sf is not None
-    bn1 = block_n if inter % block_n == 0 else inter
-    bh2 = block_h if hidden % block_h == 0 else hidden
     if scaled:
         assert hidden % gran_k == 0 and inter % gran_k == 0, (hidden, inter)
-        assert bn1 % gran_k == 0, bn1
-
-    # VMEM-aware tile shrink: at serving dims (H 7168, I 2048, cap 128,
-    # bn1 = bh2 = 256) the working set overflows the ~16 MiB scoped VMEM
-    # (measured 16.6M alloc). Halve the wider weight tile until the estimate
-    # fits a conservative budget (Mosaic's allocator adds ~40% overhead on
-    # top of the raw block bytes here).
-    xb = jnp.dtype(send_x.dtype).itemsize
-    wb = jnp.dtype(w1.dtype).itemsize
-
-    def _est(b1, b2):
-        e = (2 * b1 * hidden * wb) * 2          # w1 gate/up pair, dbl-buffered
-        e += (b2 * inter * wb) * 2              # w2 tile
-        e += cap * hidden * xb                  # x staging
-        e += cap * inter * (1 if scaled else 2)  # act
-        e += 2 * cap * b2 * 2                   # y tile double buffer
-        if scaled:
-            ksf1_ = ((hidden // gran_k + 127) // 128) * 128
-            e += cap * ksf1_ * 4 + (inter // gran_k) * cap * 4
-            e += 2 * (hidden // gran_k) * b1 * 4 * 2
-            e += (inter // gran_k) * b2 * 4 * 2
-        return e
-    budget = 10 * 1024 * 1024 + 512 * 1024
-    while _est(bn1, bh2) > budget and max(bn1, bh2) > 128:
-        if bn1 * 2 * hidden >= bh2 * inter and bn1 > 128:
-            bn1 //= 2
-        elif bh2 > 128:
-            bh2 //= 2
-        else:
-            bn1 //= 2
+    if packed is not None:
+        # Load-time packed weights (pack_mega_weights): skip the per-call
+        # repack — the in-loop transpose costs ~2x the weight bytes in HBM
+        # traffic and measured 143 -> 61 TFLOPS at serving dims.
+        bn1, bh2, gran_k = packed.bn1, packed.bh2, packed.gran_k
+        w1p, w1sf_t, w2sf_t = packed.w1p, packed.w1sf_t, packed.w2sf_t
+        w2 = packed.w2
+        assert w1p.shape[0] == e_local and w1p.shape[-1] == hidden, \
+            (w1p.shape, e_local, hidden)
+        assert scaled == (w1sf_t is not None), \
+            'packed weights SF presence must match send_sf'
+    else:
+        bn1, bh2 = pick_mega_tiles(
+            hidden, inter, cap, xb=jnp.dtype(send_x.dtype).itemsize,
+            wb=jnp.dtype(w1.dtype).itemsize, scaled=scaled, gran_k=gran_k,
+            block_n=block_n, block_h=block_h,
+            local=num_devices == 1 and not force_general)
     nt1, nt2 = inter // bn1, hidden // bh2
 
-    w1r = w1.reshape(e_local, 2, inter, hidden)
+    if packed is None:
+        # Tile-paired w1: [E, nt1, 2*bn1, H] where tile t stacks the gate
+        # rows then the up rows of n-tile t — lets the kernel run ONE
+        # 2*bn1-wide dot per L1 tile instead of two (the gate/up pair
+        # merge). NOTE: this repack is a full-weight HBM transpose — inside
+        # a hot loop use pack_mega_weights + ``packed=`` instead.
+        w1p = w1.reshape(e_local, 2, nt1, bn1, hidden) \
+            .transpose(0, 2, 1, 3, 4).reshape(e_local, nt1, 2 * bn1, hidden)
+        w1sf_t = w2sf_t = None
+        if scaled:
+            ksf1 = hidden // gran_k
+            # per-block w1 SF -> per-row, k-first, TILE-paired
+            # [E, nt1, ksf1, 2*bn1]: tile t's columns are
+            # [gate cols | up cols] of n-tile t, matching the paired w1
+            # tile's row order.
+            w1sf_rows = jnp.repeat(w1_sf.astype(jnp.float32), gran_k,
+                                   axis=1)[:, :two_i]          # [E, 2I, ksf1]
+            w1sf_t = w1sf_rows.transpose(0, 2, 1) \
+                .reshape(e_local, ksf1, 2, nt1, bn1) \
+                .transpose(0, 3, 1, 2, 4) \
+                .reshape(e_local, nt1, ksf1, 2 * bn1)
+            w2sf_t = jnp.repeat(w2_sf.astype(jnp.float32), gran_k,
+                                axis=1)[:, :hidden].transpose(0, 2, 1)
     rw4 = rw_steps.astype(jnp.float32).reshape(d_dim, e_local, cap, 1)
-
-    kernel = functools.partial(
-        _mega_kernel, num_devices=num_devices, axis_name=axis_name,
-        scaled=scaled, e_local=e_local, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
-        gran_k=gran_k, clamp=clamp)
-    interpret = pltpu.InterpretParams() if is_cpu_backend() else False
-
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]          # send (HBM)
-    inputs = [send_x]
     if scaled:
         # The SF slab rides its own RDMA: pad its last dim to the f32 lane
         # tile (128) — Mosaic requires DMA slices lane-aligned on real TPU.
@@ -506,26 +755,46 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         if send_sf.shape[-1] != ksf_pad:
             send_sf = jnp.pad(send_sf, ((0, 0), (0, 0), (0, 0),
                                         (0, ksf_pad - send_sf.shape[-1])))
+    interpret = pltpu.InterpretParams() if is_cpu_backend() else False
+
+    if num_devices == 1 and not force_general:
+        # D=1 local fast path: there are no peers, so the RDMA machinery, the
+        # recv pool, the x staging copy and the ystage+combine copies are all
+        # pure overhead (~66 MB of extra HBM traffic per call at serving
+        # dims, ~19% of the weight traffic the op is rooflined on). Feed x
+        # via a prefetched BlockSpec and write y tiles straight to the
+        # combine layout — the reference's local-rank fast path, minus the
+        # symmetric buffer entirely. Bitwise-identical math (_promote_dot /
+        # _l1_epilogue shared with the general kernel).
+        return _mega_local_call(
+            send_x[0], send_sf[0] if scaled else None, rw4[0],
+            w1p, w1sf_t, w2, w2sf_t,
+            cap=cap, hidden=hidden, inter=inter, e_local=e_local,
+            nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2, gran_k=gran_k, clamp=clamp,
+            scaled=scaled, interpret=interpret)[None]
+
+    kernel = functools.partial(
+        _mega_kernel, num_devices=num_devices, axis_name=axis_name,
+        scaled=scaled, e_local=e_local, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
+        gran_k=gran_k, clamp=clamp)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]          # send (HBM)
+    inputs = [send_x]
+    if scaled:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # send sf (HBM)
         inputs.append(send_sf)
     in_specs.append(pl.BlockSpec((1, 1, cap, 1), lambda s, e, t: (s, e, 0, 0),
                                  memory_space=pltpu.VMEM))     # row weights
     inputs.append(rw4)
     in_specs.append(pl.BlockSpec(
-        (1, 2, bn1, hidden),
-        lambda s, e, t: (e, 0, jnp.minimum(t, nt1 - 1), 0),
-        memory_space=pltpu.VMEM))                              # w1 gate/up pair
-    inputs.append(w1r)
+        (1, 1, 2 * bn1, hidden),
+        lambda s, e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
+        memory_space=pltpu.VMEM))                              # w1 paired tile
+    inputs.append(w1p)
     if scaled:
-        ksf1 = hidden // gran_k
-        # per-block w1 SF -> per-row, k-first, gate/up-paired [E, 2, ksf1, I]
-        w1sf_rows = jnp.repeat(w1_sf.astype(jnp.float32), gran_k,
-                               axis=1)[:, :two_i]              # [E, 2I, ksf1]
-        w1sf_t = w1sf_rows.transpose(0, 2, 1) \
-            .reshape(e_local, ksf1, 2, inter).transpose(0, 2, 1, 3)
         in_specs.append(pl.BlockSpec(
-            (1, 2, ksf1, bn1),
-            lambda s, e, t: (e, 0, 0, jnp.minimum(t, nt1 - 1)),
+            (1, 1, ksf1, 2 * bn1),
+            lambda s, e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
             memory_space=pltpu.VMEM))
         inputs.append(w1sf_t)
     in_specs.append(pl.BlockSpec(
@@ -535,8 +804,6 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
     inputs.append(w2)
     if scaled:
         ksf2 = inter // gran_k
-        w2sf_t = jnp.repeat(w2_sf.astype(jnp.float32), gran_k,
-                            axis=1)[:, :hidden].transpose(0, 2, 1)
         in_specs.append(pl.BlockSpec(
             (1, ksf2, bh2),
             lambda s, e, t: (e, 0, jnp.clip(t - nt1, 0, nt2 - 1)),

@@ -293,7 +293,11 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
             if g == 0:                      # single group starting at 0
                 g = align(m, mk_alignment)
             if g % mk_alignment == 0:
-                bm_align = max(mk_alignment, min(256, g))
+                # the lift must DIVIDE g or m-tiles straddle group starts
+                # (e.g. equal groups of 384 rows: g=384, a naive min(256, g)
+                # lift puts rows 384-511 of tile 1 in group 0's B). gcd with
+                # 256 keeps it a power-of-two divisor of every group start.
+                bm_align = max(mk_alignment, _math.gcd(g, 256))
         cfg = get_gemm_config(m, n, k, a.dtype, b.dtype, out_dtype,
                               gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
                               num_groups=num_groups, is_grouped_m=True,

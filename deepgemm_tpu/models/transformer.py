@@ -40,7 +40,7 @@ class ModelConfig:
     use_fp8: bool = False          # fp8 Pallas path (inference only)
     use_kernels: bool = False      # Pallas kernels vs differentiable XLA
     use_mega: bool = False         # overlapped mega-MoE pipeline (inference)
-    mega_chunks: int = 4           # dispatch/combine chunks in the pipeline
+    mega_chunks: Optional[int] = None  # None = heuristics/mega.py policy
     mega_comm: str = 'xla'         # 'xla' | 'pallas' (RDMA a2a) | 'fused'
     # FP8 TRAINING: attention projections through the differentiable fp8
     # matmul (custom VJP: fp8 fwd/dgrad, FP32-accumulate wgrad)

@@ -92,13 +92,22 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
         from the shape makes library-default quantization Just Work."""
         cands = (128, 64, 32, 16)
         if sf.dtype == jnp.int32:  # packed UE8M0: 4 exponents per int32
-            for g in cands:
-                if ceil_div(ceil_div(k, g), 4) == sf.shape[-1]:
-                    return g
+            matches = [g for g in cands
+                       if ceil_div(ceil_div(k, g), 4) == sf.shape[-1]]
         else:
-            for g in cands:
-                if ceil_div(k, g) == sf.shape[-1]:
-                    return g
+            matches = [g for g in cands if ceil_div(k, g) == sf.shape[-1]]
+        if matches:
+            # Multiple candidates are harmless only when they imply the SAME
+            # number of real scales (one scale covering all of k). Packed
+            # int32 SFs at small k collide materially — ceil(ceil(k/g)/4) is
+            # 1 for both g=128 and g=64 at k=256 — and guessing mis-scales
+            # every block silently (ADVICE r2), so raise there.
+            if len({ceil_div(k, g) for g in matches}) > 1:
+                raise ValueError(
+                    f'FP4 scale granularity is ambiguous from packed SF width '
+                    f'{sf.shape[-1]} at k={k} (candidates {matches}); pass '
+                    f'recipe/recipe_a/recipe_b explicitly')
+            return matches[0]
         raise ValueError(
             f'cannot derive FP4 scale granularity from SF width '
             f'{sf.shape[-1]} at k={k}; pass recipe/recipe_a/recipe_b')

@@ -185,11 +185,11 @@ def _chunk_bounds(cap: int, num_chunks: int):
 def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
                      topk_weights: jnp.ndarray,
                      w1, w1_sf, w2, w2_sf,
-                     cfg: MoEConfig, *, num_chunks: Optional[int] = 4,
+                     cfg: MoEConfig, *, num_chunks: Optional[int] = None,
                      axis_name: str = 'ep',
                      gemm_cfg1: Optional[GemmConfig] = None,
                      gemm_cfg2: Optional[GemmConfig] = None,
-                     comm: str = 'xla'):
+                     comm: str = 'xla', packed_weights=None):
     """Overlapped EP MoE forward (inside shard_map over ``axis_name``).
 
     Same contract as ``ep_moe_forward`` (x [T,H] bf16, topk_idx [T,K],
@@ -263,9 +263,10 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
                 xsf[pair_t], mode='drop')
             combine = fused_mega_moe(send_q, rw_steps, w1, w2, axis_name,
                                      send_sf=send_qsf, w1_sf=w1_sf,
-                                     w2_sf=w2_sf)
+                                     w2_sf=w2_sf, packed=packed_weights)
         else:
-            combine = fused_mega_moe(send_x, rw_steps, w1, w2, axis_name)
+            combine = fused_mega_moe(send_x, rw_steps, w1, w2, axis_name,
+                                     packed=packed_weights)
         # combine[d, e] = results from rank d — the exact layout of the
         # unfused path's reverse all-to-all, so the same pair gather +
         # f32 scatter-add applies (bitwise-equal combine reduction).
@@ -324,7 +325,7 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
 
 
 def fp8_fp4_mega_moe(x, topk_idx, topk_weights, w1, w1_sf, w2, w2_sf,
-                     cfg: MoEConfig, *, num_chunks: int = 4,
+                     cfg: MoEConfig, *, num_chunks: Optional[int] = None,
                      axis_name: str = 'ep'):
     """FP8 mega MoE (parity name: /root/reference/csrc/apis/mega.hpp
     `fp8_fp4_mega_moe`). Weights are FP8 + per-128x128-block SF."""
@@ -334,7 +335,7 @@ def fp8_fp4_mega_moe(x, topk_idx, topk_weights, w1, w1_sf, w2, w2_sf,
 
 
 def bf16_mega_moe(x, topk_idx, topk_weights, w1, w2,
-                  cfg: MoEConfig, *, num_chunks: int = 4,
+                  cfg: MoEConfig, *, num_chunks: Optional[int] = None,
                   axis_name: str = 'ep'):
     """BF16 mega MoE (parity name: /root/reference/csrc/apis/mega.hpp
     `bf16_mega_moe`)."""

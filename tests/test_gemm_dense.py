@@ -238,3 +238,25 @@ def test_fp8_gemm_fp64_emulation_oracle():
     rel = np.abs(d - ref64) / np.maximum(np.abs(ref64), 1.0)
     assert rel.max() < 2 ** -7, rel.max()        # within bf16 ulp
     assert calc_diff(d, ref64.astype(np.float32)) < 5e-6
+
+
+def test_fp8_fp4_gemm_ambiguous_packed_gran_raises():
+    """Packed int32 UE8M0 SFs at small k are ambiguous (ceil(ceil(k/g)/4)
+    collides for g in {128, 64} at k=256); silently guessing 128 mis-scales
+    every block when the data was quantized at 64 (ADVICE r2) — the GEMM must
+    demand an explicit recipe instead."""
+    rng = np.random.RandomState(19)
+    m, n, k = 64, 128, 256
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(n, k), jnp.bfloat16)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=True)
+    bq, bsf = dg.per_token_cast_to_fp4(b, use_ue8m0=True, gran_k=64,
+                                       use_packed_ue8m0=True)
+    assert bsf.dtype == jnp.int32
+    with pytest.raises(ValueError, match='ambiguous'):
+        dg.fp8_fp4_gemm_nt((aq, asf), (bq, bsf))      # no recipe
+    # explicit recipe still works
+    d = dg.fp8_fp4_gemm_nt((aq, asf), (bq, bsf), recipe_a=(1, 128),
+                           recipe_b=(1, 64))
+    ref = f32(a) @ f32(b).T
+    assert calc_diff(d, ref) < 2e-2

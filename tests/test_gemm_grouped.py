@@ -103,3 +103,28 @@ def test_m_grouped_contiguous_ids_zero_padding():
     assert pad_rows.any(), 'fixture produced no padding rows'
     assert not d_np[pad_rows].any(), 'id=-1 rows must be zero'
     assert calc_diff(d_np[~pad_rows], np.asarray(ref_d, np.float32)[~pad_rows]) < 1e-3
+
+
+def test_m_grouped_contiguous_gcd_lift_divisor():
+    """The adaptive block_m lift must DIVIDE the gcd of group starts
+    (ADVICE r2): equal groups of 384 rows have gcd 384, and a naive
+    min(256, g) lift made m-tiles straddle group boundaries — rows 384-511
+    multiplied against the wrong expert's B."""
+    num_groups, rows, n, k = 4, 384, 256, 256
+    m = num_groups * rows
+    rng = np.random.RandomState(23)
+    a = jnp.asarray(rng.randn(m, k).astype(np.float32), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(num_groups, n, k).astype(np.float32),
+                    jnp.bfloat16)
+    ref = np.concatenate([
+        np.asarray(a[g * rows:(g + 1) * rows], np.float32)
+        @ np.asarray(b[g], np.float32).T
+        for g in range(num_groups)])
+    ids = jnp.asarray(np.repeat(np.arange(num_groups, dtype=np.int32), rows))
+    d = dg.m_grouped_bf16_gemm_nt_contiguous(a, b, grouped_layout=ids,
+                                             use_psum_layout=False)
+    assert calc_diff(d, ref) < 1e-5
+    ends = jnp.asarray(np.arange(1, num_groups + 1, dtype=np.int32) * rows)
+    d2 = dg.m_grouped_bf16_gemm_nt_contiguous(a, b, grouped_layout=ends,
+                                              use_psum_layout=True)
+    assert calc_diff(d2, ref) < 1e-5
