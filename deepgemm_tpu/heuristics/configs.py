@@ -74,6 +74,48 @@ def _equal_split_bk(k_full: int, fit: int, k_quantum: int) -> int:
     return block_k
 
 
+def modeled_time_s(m: int, n: int, k_full: int, bm: int, bn: int, bk: int,
+                   a_bytes: int, b_bytes: int, out_bytes: int, arch,
+                   accum_read: bool = False) -> float:
+    """Analytic per-candidate time model — the TPU analog of the reference's
+    L1/L2-bandwidth cycle model (/root/reference/csrc/jit_kernels/heuristics/
+    sm90.hpp:118-244, common.hpp:13-52). Models the three real costs:
+
+      * HBM traffic: A is streamed once per n-tile column, B once per m-tile
+        row, the output written once (plus an accumulator read when
+        ``accum_read``) — this is the term that predicts the wgrad shape's
+        HBM-boundness (94 TFLOPS measured vs ~120 kernel-only);
+      * MXU time at the arch's (fp8-aware) peak over padded FLOPs;
+      * per-grid-step pipeline overhead (``arch.step_overhead_s``,
+        calibrated from the v5e bk sweep).
+    """
+    t_hbm, t_mxu, t_steps = modeled_components_s(
+        m, n, k_full, bm, bn, bk, a_bytes, b_bytes, out_bytes, arch,
+        accum_read=accum_read)
+    return max(t_hbm, t_mxu) + t_steps
+
+
+def modeled_components_s(m: int, n: int, k_full: int, bm: int, bn: int,
+                         bk: int, a_bytes: int, b_bytes: int, out_bytes: int,
+                         arch, accum_read: bool = False,
+                         num_groups: int = 1):
+    """(t_hbm, t_mxu, t_step_overhead) breakdown of :func:`modeled_time_s`.
+    ``num_groups`` scales the output (and accumulator-read) traffic for
+    k-grouped shapes, where each group writes its own (m, n) FP32 block."""
+    gm, gn, gk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k_full, bk)
+    m_pad, n_pad = gm * bm, gn * bn
+    a_traffic = gn * m_pad * k_full * a_bytes
+    b_traffic = gm * n_pad * k_full * b_bytes
+    out_traffic = num_groups * m_pad * n_pad * out_bytes \
+        * (2 if accum_read else 1)
+    t_hbm = (a_traffic + b_traffic + out_traffic) / (arch.hbm_gbps * 1e9)
+    peak = arch.bf16_tflops * 1e12
+    if max(a_bytes, b_bytes) == 1 and not arch.fp8_direct:
+        peak *= 0.5                     # fp8 upcast path halves the MXU rate
+    t_mxu = 2.0 * m_pad * n_pad * k_full / peak
+    return t_hbm, t_mxu, gm * gn * gk * arch.step_overhead_s
+
+
 def get_gemm_config(m: int, n: int, k: int,
                     a_dtype, b_dtype, out_dtype,
                     gran_k: int = 128,
@@ -151,9 +193,18 @@ def get_gemm_config(m: int, n: int, k: int,
         # Nothing fits even shallow: smallest tile, one k quantum.
         cands = [(min(bm_cands), MXU_DIM, k_quantum)]
 
+    # Modeled time per candidate (the sm90.hpp traffic-model analog): on
+    # compute-bound shapes every candidate lands in the same 12.5% bucket and
+    # the measured lexicographic rules decide; on HBM-bound shapes (wgrad)
+    # the traffic term dominates and picks the restream-minimizing tiles.
+    times = {c: modeled_time_s(m, n, k_full, *c, a_bytes, b_bytes, out_bytes,
+                               arch) for c in cands}
+    t_min = min(times.values())
+
     def score(c):
         bm, bn, bk = c
         gm, gn, gk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k_full, bk)
+        time_bucket = int((times[c] / t_min - 1.0) * 8)
         # Tail utilization in coarse 12.5% buckets (ref `get_num_waves` /
         # last-wave-util analog): a few percent of padding must not override
         # the step-count and block-width terms.
@@ -163,8 +214,8 @@ def get_gemm_config(m: int, n: int, k: int,
             # bm before bn: (256,256,8192) measured 180.8 vs (128,512,8192)
             # peers and (256,1024,4096) at 177.0 on the 4096x7168x8192 wgrad
             # shape; (256,512,7168) 175.7 > (128,512,7168) 172.9.
-            return (waste_bucket, gk, -bm, -bn)
-        return (waste_bucket, -bn, gk, -bm)
+            return (time_bucket, waste_bucket, gk, -bm, -bn)
+        return (time_bucket, waste_bucket, -bn, gk, -bm)
 
     block_m, block_n, block_k = min(cands, key=score)
 

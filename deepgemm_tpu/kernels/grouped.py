@@ -335,11 +335,19 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
 
     if cfg is None:
         # expected_m only shapes the heuristic, never the semantics
-        # (CUDA-graph-safety analog: /root/reference/csrc/apis/gemm.hpp masked)
-        cfg = get_gemm_config(expected_m or max_m, n, k, a.dtype, b.dtype, out_dtype,
+        # (CUDA-graph-safety analog: /root/reference/csrc/apis/gemm.hpp masked).
+        # The bm cap follows expected_m up to 256: at full occupancy
+        # (expected_m == max_m == 256) the 256-tall tile is the measured
+        # winner ((256,512,7168) 175.7 vs (128,512,7168) 172.9 contiguous);
+        # at low expected_m short tiles keep the early-exit predicate
+        # effective. Tiles never straddle groups here (each group has its
+        # own array dim), so this is purely a heuristic knob.
+        em = expected_m or max_m
+        bm_hint = min(256, max(32, align(em, 32)), align(max_m, 32))
+        cfg = get_gemm_config(em, n, k, a.dtype, b.dtype, out_dtype,
                               gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
                               num_groups=num_groups, is_grouped_m=True,
-                              mk_alignment=min(128, max(32, align(expected_m or max_m, 32))),
+                              mk_alignment=bm_hint,
                               scale_strategy='promote' if is_scaled else None)
     spec = GroupedGemmSpec(
         kind='masked', num_groups=num_groups, m=max_m, n=n, k=k,

@@ -48,6 +48,11 @@ class KGroupedGemmSpec:
     block_m: int
     block_n: int
     block_k: int
+    # c=None contract: the accumulator input is known-zero, so the kernel
+    # zero-inits instead of streaming G*m*n FP32 of zeros from HBM — the
+    # analog of the reference's d==c aliasing fast path
+    # (/root/reference/csrc/apis/gemm.hpp:328 accumulation contract).
+    has_c: bool = True
     # k-major operands ([m, total_k] / [n, total_k], one XLA relayout at
     # the ops layer). Measured on v5e at 4096x7168, total_k 8192: ~69 TFLOPS
     # in BOTH orientations (the sublane-contraction theory did not hold) —
@@ -77,9 +82,11 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                       memory_space=pltpu.VMEM) if kmaj else
          pl.BlockSpec((bk, bn), lambda i, j, s, *pf: (s, j),
                       memory_space=pltpu.VMEM)),
-        pl.BlockSpec((1, bm, bn), lambda i, j, s, gid, *pf: (gid[s], i, j),
-                     memory_space=pltpu.VMEM),
     ]
+    if spec.has_c:
+        in_specs.append(
+            pl.BlockSpec((1, bm, bn), lambda i, j, s, gid, *pf: (gid[s], i, j),
+                         memory_space=pltpu.VMEM))
     if spec.is_scaled:
         # SFs are k-first ([nsf, m] / [nsf, n]) so the kernel can pick the
         # runtime-computed SF row with a dynamic *sublane* slice (Mosaic
@@ -93,21 +100,26 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
 
     def kernel(gid_ref, first_ref, last_ref, sfstart_ref, localbase_ref,
                *refs):
-        a_ref, b_ref, c_ref = refs[0], refs[1], refs[2]
+        a_ref, b_ref = refs[0], refs[1]
+        c_ref = refs[2] if spec.has_c else None
         d_ref = refs[-2]
         acc_ref = refs[-1]
         s = pl.program_id(2)
 
         @pl.when(first_ref[s] == 1)
         def _():
-            acc_ref[:] = c_ref[0].astype(jnp.float32)
+            if spec.has_c:
+                acc_ref[:] = c_ref[0].astype(jnp.float32)
+            else:
+                acc_ref[:] = jnp.zeros_like(acc_ref)
 
         a_blk = a_ref[:]
         b_blk = b_ref[:]
         if not spec.is_scaled:
             acc_ref[:] += dot_mn(a_blk, b_blk, kmaj, kmaj)
         else:
-            sfa_ref2, sfb_ref2 = refs[3], refs[4]   # (nsf, bm), (nsf, bn)
+            sf0 = 3 if spec.has_c else 2
+            sfa_ref2, sfb_ref2 = refs[sf0], refs[sf0 + 1]  # (nsf, bm/bn)
             total = None
             for t in range(bk // gsub):
                 # SF row for this sub-slice: group-compact rows
@@ -198,25 +210,40 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     n = b.shape[1]
     num_groups = num_groups or grouped_layout.shape[0]
     is_scaled = sfa_t is not None
+    has_c = c is not None
     k_alignment = runtime().mk_alignment
 
-    # Tile choice: the wgrad shape is HBM-BOUND at 256-wide tiles (A/B are
-    # re-streamed once per opposing tile row/col; profiled 4.9 ms kernel =
-    # ~2.8 GB of traffic at 4096x7168, total_k 8192). 512-wide tiles halve
-    # the A/B re-streams; fall back to 256 when VMEM cannot hold a deep-k
-    # working set. Lane/sublane rule: 128-divisible or the whole dim.
+    # Tile choice by modeled HBM traffic: the wgrad shape is HBM-BOUND (A is
+    # re-streamed once per n-tile column, B once per m-tile row, plus the
+    # FP32 c read / d write per output element). Minimize
+    #   ceil(n/bn) * m * total_k * a_bytes + ceil(m/bm) * n * total_k * b_bytes
+    # over VMEM-fitting (bm, bn); the c/d term is tile-invariant. Dropping
+    # the known-zero c (has_c=False) frees a whole (bm, bn) FP32 block of
+    # VMEM, which is what lets 1024-wide tiles fit and halves the A/B
+    # re-streams. Lane/sublane rule: 128-divisible or the whole dim.
     nsf_total = sfa_t.shape[0] if is_scaled else 0
     a_bytes = jnp.dtype(a.dtype).itemsize
     b_bytes = jnp.dtype(b.dtype).itemsize
     budget0 = 11 * 1024 * 1024
-    bm = bn = None
-    for cand in (512, 256):
-        bm = min(cand, m) if m % 128 == 0 else m
-        bn = min(cand, n) if n % 128 == 0 else n
-        fixed0 = bm * bn * 4 * 3 + nsf_total * (bm + bn) * 4
-        per_k0 = (bm * a_bytes + bn * b_bytes) * 2
-        if budget0 - fixed0 >= per_k0 * k_alignment:
-            break
+    n_out_blocks = 3 if has_c else 2       # c + d + acc vs d + acc
+    best_pick = None
+    for cm in (1024, 512, 256):
+        for cn in (1024, 512, 256):
+            bm_c = min(cm, m) if m % 128 == 0 else m
+            bn_c = min(cn, n) if n % 128 == 0 else n
+            fixed0 = bm_c * bn_c * 4 * n_out_blocks \
+                + nsf_total * (bm_c + bn_c) * 4
+            per_k0 = (bm_c * a_bytes + bn_c * b_bytes) * 2
+            if budget0 - fixed0 < per_k0 * k_alignment:
+                continue
+            traffic = (ceil_div(n, bn_c) * m * total_k * a_bytes
+                       + ceil_div(m, bm_c) * n * total_k * b_bytes)
+            # tie-break: deeper-k headroom (smaller per_k), then taller bm
+            key = (traffic, per_k0, -bm_c)
+            if best_pick is None or key < best_pick[0]:
+                best_pick = (key, bm_c, bn_c)
+    assert best_pick is not None, 'no VMEM-fitting k-grouped tile'
+    _, bm, bn = best_pick
 
     # block_k must divide every group START (so no k-tile straddles a group
     # boundary; inter-group padding rows are zero by the layout contract).
@@ -241,7 +268,7 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         g = int(total_k)
         for s in starts[1:]:
             g = math.gcd(g, int(s))
-        fixed = bm * bn * 4 * 3 + nsf_total * (bm + bn) * 4
+        fixed = bm * bn * 4 * n_out_blocks + nsf_total * (bm + bn) * 4
         per_k = (bm * a_bytes + bn * b_bytes) * 2
         fit = max((budget0 - fixed) // per_k, k_alignment)
         best = k_alignment
@@ -257,7 +284,7 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         num_groups=num_groups, m=m, n=n, total_k=total_k,
         a_dtype=str(a.dtype), b_dtype=str(b.dtype), is_scaled=is_scaled,
         gran_k=gran_k, nsf_total=nsf_total,
-        block_m=bm, block_n=bn, block_k=bk, k_major=k_major)
+        block_m=bm, block_n=bn, block_k=bk, k_major=k_major, has_c=has_c)
     fn = kernel_cache().get_or_build(spec, lambda: _build_k_grouped(spec))
     if k_major:
         a = jnp.swapaxes(a, 0, 1)          # [m, total_k]
@@ -267,10 +294,14 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         grouped_layout, num_groups, total_k, bk, gran_k, k_alignment,
         use_psum_layout)
 
-    args = [gid, first, last, sf_start, local_base, a, b, c]
+    args = [gid, first, last, sf_start, local_base, a, b]
+    if has_c:
+        args.append(c)
     if is_scaled:
         args += [sfa_t, sfb_t]
     d = fn(*args)
     # Empty groups own no k-tiles, so their d block is never written: splice
-    # c back in (matches ref_d[i] = c[i], tests/generators.py:513-516).
-    return jnp.where((real_ks == 0)[:, None, None], c, d)
+    # c (or zero) back in (matches ref_d[i] = c[i],
+    # tests/generators.py:513-516).
+    empty = (real_ks == 0)[:, None, None]
+    return jnp.where(empty, c if has_c else jnp.zeros_like(d), d)

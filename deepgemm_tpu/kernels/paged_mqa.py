@@ -48,8 +48,13 @@ class PagedMQASpec:
     # path's small-DMA overhead, and the GEMM single-k-step rule applies
     # here too: at B64/ctx4096, tile_kv 1024 -> 4096 (one step per row) is
     # 326 -> 642 GB/s effective. 'paged' remains the zero-copy option for
-    # HBM-constrained serving.
+    # HBM-constrained serving: the fp8 cache stays in place, pages ride
+    # manual double-buffered DMAs (next tile's pages issued under the
+    # current tile's compute — the round-2 bpt-BlockSpec-window scheme paid
+    # per-window Mosaic machinery and measured 99 GB/s). The tiny f32 SF
+    # sideband (~1 MB) still rides a linear gather.
     linear_cache: bool = False
+    kv_dtype: str = 'float8_e4m3fn'   # cache dtype (bf16 after FP4 decode)
 
 
 def _build_paged_mqa(spec: PagedMQASpec):
@@ -67,14 +72,8 @@ def _build_paged_mqa(spec: PagedMQASpec):
     tile_kv = bpt * bkv
     gkv = ceil_div(spec.max_model_len, tile_kv)
 
-    def kv_map(i):
-        return lambda b, c, bt, ctx: (
-            bt[b * mb + jnp.minimum(c * bpt + i, mb - 1)], 0, 0)
-
-    def sf_map(i):
-        return lambda b, c, bt, ctx: (
-            bt[b * mb + jnp.minimum(c * bpt + i, mb - 1)], 0, 0)
-
+    assert spec.linear_cache, \
+        'the paged (zero-copy) strategy builds via _build_paged_mqa_zerocopy'
     in_specs = [
         # q [B, next_n*h, d]
         pl.BlockSpec((1, nn * h, d), lambda b, c, bt, ctx: (b, 0, 0),
@@ -82,23 +81,12 @@ def _build_paged_mqa(spec: PagedMQASpec):
         # weights [B, next_n, h]
         pl.BlockSpec((1, nn, h), lambda b, c, bt, ctx: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-    ]
-    if spec.linear_cache:
         # contiguous per-batch cache [B, mb*bkv, d] + sf [B, 1, mb*bkv]
-        in_specs.append(pl.BlockSpec((1, tile_kv, d),
-                                     lambda b, c, bt, ctx: (b, c, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, tile_kv),
-                                     lambda b, c, bt, ctx: (b, 0, c),
-                                     memory_space=pltpu.VMEM))
-    else:
-        for i in range(bpt):
-            # kv cache [num_blocks, block_kv, d] — paged indirection in the map
-            in_specs.append(pl.BlockSpec((1, bkv, d), kv_map(i),
-                                         memory_space=pltpu.VMEM))
-            # kv sf [num_blocks, 1, block_kv]
-            in_specs.append(pl.BlockSpec((1, 1, bkv), sf_map(i),
-                                         memory_space=pltpu.VMEM))
+        pl.BlockSpec((1, tile_kv, d), lambda b, c, bt, ctx: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+                     memory_space=pltpu.VMEM),
+    ]
     out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
                             memory_space=pltpu.VMEM)
 
@@ -124,28 +112,14 @@ def _build_paged_mqa(spec: PagedMQASpec):
         def _():
             q_blk = q_ref[0]                                 # (nn*h, d)
             w3 = w_ref[0].astype(jnp.float32)                # (nn, h)
-            if spec.linear_cache:
-                kv_blk = refs[0][0]                           # (tile_kv, d)
-                sf_row = refs[1][0]                           # (1, tile_kv)
-                scores = jax.lax.dot_general(
-                    q_blk, kv_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)       # (nn*h, tile_kv)
-                scores = jnp.maximum(scores, 0.0) * sf_row
-                s3 = scores.reshape(nn, h, tile_kv)
-                logits = jnp.sum(s3 * w3[:, :, None], axis=1)
-            else:
-                parts = []
-                for i in range(bpt):
-                    kv_blk = refs[2 * i][0]                   # (bkv, d)
-                    sf_row = refs[2 * i + 1][0]               # (1, bkv)
-                    scores = jax.lax.dot_general(
-                        q_blk, kv_blk,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # (nn*h, bkv)
-                    scores = jnp.maximum(scores, 0.0) * sf_row
-                    s3 = scores.reshape(nn, h, bkv)
-                    parts.append(jnp.sum(s3 * w3[:, :, None], axis=1))
-                logits = jnp.concatenate(parts, axis=1)      # (nn, tile_kv)
+            kv_blk = refs[0][0]                               # (tile_kv, d)
+            sf_row = refs[1][0]                               # (1, tile_kv)
+            scores = jax.lax.dot_general(
+                q_blk, kv_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (nn*h, tile_kv)
+            scores = jnp.maximum(scores, 0.0) * sf_row
+            s3 = scores.reshape(nn, h, tile_kv)
+            logits = jnp.sum(s3 * w3[:, :, None], axis=1)
 
             # Causal/context mask: token t of the query block attends to kv
             # positions <= its own offset (reference semantics,
@@ -185,6 +159,145 @@ def _build_paged_mqa(spec: PagedMQASpec):
     return jax.jit(call)
 
 
+def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
+    """Zero-copy paged decode: the fp8 cache pages stay in HBM and stream
+    through manual double-buffered async copies — pages for grid step c+1
+    are issued while step c computes, so every DMA rides under MXU/VPU work.
+    Replaces the bpt-independent-BlockSpec-window scheme whose per-window
+    Mosaic pipeline machinery measured 99 GB/s (VERDICT r2 #4). Math is the
+    one-dot linear_cache sequence, so results are bitwise-equal to the
+    gather strategy."""
+    b_sz, nn, h, d = spec.batch_size, spec.next_n, spec.num_heads, spec.head_dim
+    bkv = spec.block_kv
+    out_dtype = jnp.dtype(spec.logits_dtype)
+    mb = spec.max_blocks_per_seq
+    tile_kv = spec.tile_kv
+    bpt = max(1, tile_kv // bkv)
+    tile_kv = bpt * bkv
+    gkv = ceil_div(spec.max_model_len, tile_kv)
+
+    in_specs = [
+        pl.BlockSpec((1, nn * h, d), lambda b, c, bt, ctx: (b, 0, 0),
+                     memory_space=pltpu.VMEM),                 # q
+        pl.BlockSpec((1, nn, h), lambda b, c, bt, ctx: (b, 0, 0),
+                     memory_space=pltpu.VMEM),                 # weights
+        pl.BlockSpec(memory_space=pl.ANY),                     # kv cache (HBM)
+        pl.BlockSpec((1, 1, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+                     memory_space=pltpu.VMEM),                 # linear sf
+    ]
+    out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(bt_ref, ctx_ref, q_ref, w_ref, kv_hbm, sf_ref, out_ref,
+               kv_vmem, copy_sems):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+
+        def row_ctx(bb):
+            if spec.ctx_2d:
+                m = ctx_ref[bb * nn]
+                for t in range(1, nn):
+                    m = jnp.maximum(m, ctx_ref[bb * nn + t])
+                return m
+            return ctx_ref[bb]
+
+        ctx = row_ctx(b)
+        active = c * tile_kv < ctx
+
+        def page_copy(bb, cc, i, slot):
+            page = bt_ref[bb * mb + jnp.minimum(cc * bpt + i, mb - 1)]
+            return pltpu.make_async_copy(
+                kv_hbm.at[page],
+                kv_vmem.at[slot, pl.ds(i * bkv, bkv), :],
+                copy_sems.at[slot])
+
+        def issue_tile(bb, cc, slot):
+            # issue all pages of tile (bb, cc); inactive tiles issue nothing
+            @pl.when((cc * tile_kv < row_ctx(bb)) & (bb < b_sz))
+            def _():
+                for i in range(bpt):
+                    page_copy(bb, cc, i, slot).start()
+
+        @pl.when((b == 0) & (c == 0))
+        def _():
+            issue_tile(0, 0, 0)
+
+        # next grid step's tile: (b, c+1), or (b+1, 0) at the row end
+        nb = jnp.where(c + 1 < gkv, b, b + 1)
+        nc = jnp.where(c + 1 < gkv, c + 1, 0)
+
+        @pl.when(active)
+        def _():
+            # wait for our tile's pages (issued by the previous step, or by
+            # the bootstrap above), then prefetch the next step's tile into
+            # the other slot BEFORE computing, so DMA rides under the MXU.
+            slot = jax.lax.rem(b * gkv + c, 2)
+            for i in range(bpt):
+                page_copy(b, c, i, slot).wait()
+            issue_tile(nb, nc, 1 - slot)
+
+            q_blk = q_ref[0]
+            w3 = w_ref[0].astype(jnp.float32)
+            kv_blk = kv_vmem[slot]
+            sf_row = sf_ref[0]
+            scores = jax.lax.dot_general(
+                q_blk, kv_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            scores = jnp.maximum(scores, 0.0) * sf_row
+            s3 = scores.reshape(nn, h, tile_kv)
+            logits = jnp.sum(s3 * w3[:, :, None], axis=1)
+
+            col = c * tile_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (nn, tile_kv), 1)
+            if spec.ctx_2d:
+                q_off = jnp.zeros((nn, 1), jnp.int32)
+                rid = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)
+                for t in range(nn):
+                    q_off = jnp.where(rid == t, ctx_ref[b * nn + t], q_off)
+            else:
+                q_off = ctx - nn + 1 + jax.lax.broadcasted_iota(
+                    jnp.int32, (nn, 1), 0)
+            valid = (col < ctx) & (col < q_off)
+            out_ref[0] = jnp.where(valid, logits.astype(out_dtype),
+                                   jnp.asarray(NEG_INF, out_dtype))
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            out_ref[:] = jnp.full_like(out_ref,
+                                       jnp.asarray(NEG_INF, out_dtype))
+            # still prefetch the next step's tile (this step has no compute
+            # to hide it under, but the next active step must find its pages
+            # issued exactly once): only the step directly before (nb, nc)
+            # may issue, which is us.
+            slot = jax.lax.rem(b * gkv + c, 2)
+            issue_tile(nb, nc, 1 - slot)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b_sz, gkv),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_kv, d), jnp.dtype(spec.kv_dtype)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_sz, nn, spec.max_model_len),
+                                       out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_sz * nn * h * d * spec.max_model_len,
+            bytes_accessed=0, transcendentals=0),
+        interpret=is_cpu_backend(),
+    )
+    return jax.jit(call)
+
+
 def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
                      weights: jnp.ndarray, context_lens: jnp.ndarray,
                      block_table: jnp.ndarray, max_model_len: int,
@@ -206,8 +319,9 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
         num_kv_blocks=num_blocks, block_kv=bkv, max_blocks_per_seq=mb,
         max_model_len=max_model_len, ctx_2d=ctx_2d,
         logits_dtype=str(jnp.dtype(logits_dtype)), tile_kv=tile_kv,
-        linear_cache=linear)
-    fn = kernel_cache().get_or_build(spec, lambda: _build_paged_mqa(spec))
+        linear_cache=linear, kv_dtype=str(kv_cache.dtype))
+    builder = _build_paged_mqa if linear else _build_paged_mqa_zerocopy
+    fn = kernel_cache().get_or_build(spec, lambda: builder(spec))
 
     q3 = q.reshape(b_sz, nn * h, d)
     w3 = weights.reshape(b_sz, nn, h)
@@ -215,17 +329,16 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
     bt2 = jnp.clip(block_table.astype(jnp.int32), 0, num_blocks - 1)
     bt = bt2.reshape(-1)
     ctx = context_lens.astype(jnp.int32).reshape(-1)
+    # The tiny f32 SF sideband rides a linear gather in BOTH strategies
+    # (~B*mb*bkv*4 bytes, negligible next to the fp8 values); "zero-copy"
+    # refers to the big cache pages, which only the gather strategy copies.
+    sf_lin = kv_sf.astype(jnp.float32)[bt2].reshape(b_sz, 1, mb * bkv)
     if linear:
         # one XLA gather pass makes the per-batch cache contiguous; the
         # kernel then streams full tiles (large DMAs)
         kv_lin = kv_cache[bt2].reshape(b_sz, mb * bkv, d)
-        sf_lin = kv_sf.astype(jnp.float32)[bt2].reshape(b_sz, 1, mb * bkv)
         args = [bt, ctx, q3, w3, kv_lin, sf_lin]
     else:
-        sf3 = kv_sf.astype(jnp.float32).reshape(num_blocks, 1, bkv)
-        bpt = max(1, tile_kv // bkv)
-        args = [bt, ctx, q3, w3]
-        for _ in range(bpt):
-            args += [kv_cache, sf3]
+        args = [bt, ctx, q3, w3, kv_cache, sf_lin]
     out = fn(*args)
     return out.reshape(b_sz * nn, max_model_len)

@@ -144,12 +144,37 @@ def _varlen_group(indices) -> Tuple[np.ndarray, np.ndarray, int, int]:
     return idx.astype(np.int64), pos, raw_batch, t_max
 
 
+def _varlen_group_traced(indices: jnp.ndarray, max_batch: int, t_max: int):
+    """Traced varlen pairing with STATIC (max_batch, t_max) bounds — the
+    device-side analog of the reference's in-kernel pairing scheduler
+    (/root/reference/deep_gemm/include/deep_gemm/scheduler/sm100_paged_mqa_logits.cuh):
+    all shapes are fixed by the bounds, so the grouping runs under jit with
+    no host sync. The caller guarantees indices < max_batch and at most
+    t_max rows per sequence; rows beyond a bound are silently dropped by the
+    scatters (same as out-of-capacity MoE slots)."""
+    idx = indices.astype(jnp.int32).reshape(-1)
+    b = idx.shape[0]
+    order = jnp.argsort(idx, stable=True)
+    idx_sorted = idx[order]
+    # rank within the sequence = position in the sorted run
+    rank_sorted = jnp.arange(b, dtype=jnp.int32) - \
+        jnp.searchsorted(idx_sorted, idx_sorted, side='left').astype(jnp.int32)
+    pos = jnp.zeros((b,), jnp.int32).at[order].set(rank_sorted)
+    # first flat row of each sequence: reversed scatter keeps the earliest
+    first_row = jnp.zeros((max_batch,), jnp.int32) \
+        .at[idx[::-1]].set(jnp.arange(b - 1, -1, -1, dtype=jnp.int32),
+                           mode='drop')
+    return idx, pos, first_row
+
+
 def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
                              block_table, schedule_meta=None,
                              max_context_len: int = 0,
                              clean_logits: bool = True,
                              logits_dtype=jnp.float32, indices=None,
-                             strategy: str = 'gather'):
+                             strategy: str = 'gather',
+                             max_batch: int = 0,
+                             max_tokens_per_seq: int = 0):
     """Decode-side paged indexer scoring
     (/root/reference/csrc/apis/attention.hpp:233-402). ``fused_kv_cache`` may
     be the reference byte layout (FP8 ``d+4`` or FP4 ``d//2+4`` per token) or
@@ -212,22 +237,36 @@ def fp8_fp4_paged_mqa_logits(q, fused_kv_cache, weights, context_lens,
     if indices is not None:
         assert nn == 1, 'varlen requires next_n == 1 (reference contract)'
         if isinstance(indices, jax.core.Tracer):
-            raise ValueError(
-                'varlen `indices` must be a concrete host array: the '
-                'sequence grouping determines kernel shapes (the reference '
-                'builds its pairing schedule outside the kernel too)')
-        idx, pos, raw_batch, t_max = _varlen_group(indices)
-        assert idx.shape[0] == b, (idx.shape, b)
-        # first flat row of each sequence carries its block-table row
-        first_row = np.zeros(raw_batch, np.int64)
-        first_row[idx[::-1]] = np.arange(b - 1, -1, -1)
+            # Traced varlen: shapes come from the static bounds, the pairing
+            # runs in jnp — serving graphs can jit over varying batches
+            # (matching the device-side spirit of the reference pairing
+            # scheduler, csrc/apis/attention.hpp:347-391).
+            if max_batch <= 0 or max_tokens_per_seq <= 0:
+                raise ValueError(
+                    'traced varlen `indices` requires static bounds: pass '
+                    'max_batch (> max sequence id) and max_tokens_per_seq '
+                    '(>= rows of the largest sequence); with host-concrete '
+                    'indices the exact shapes are derived instead')
+            raw_batch, t_max = max_batch, max_tokens_per_seq
+            idx, pos, first_row = _varlen_group_traced(indices, raw_batch,
+                                                       t_max)
+        else:
+            idx, pos, raw_batch, t_max = _varlen_group(indices)
+            if max_batch > 0:
+                raw_batch = max(raw_batch, max_batch)
+            if max_tokens_per_seq > 0:
+                t_max = max(t_max, max_tokens_per_seq)
+            assert idx.shape[0] == b, (idx.shape, b)
+            # first flat row of each sequence carries its block-table row
+            first_row = np.zeros(raw_batch, np.int64)
+            first_row[idx[::-1]] = np.arange(b - 1, -1, -1)
         q_pad = jnp.zeros((raw_batch, t_max, h, d), q_val.dtype)
-        q_pad = q_pad.at[idx, pos].set(q_val[:, 0])
+        q_pad = q_pad.at[idx, pos].set(q_val[:, 0], mode='drop')
         w_pad = jnp.zeros((raw_batch * t_max, h), weights.dtype)
-        w_pad = w_pad.at[idx * t_max + pos].set(weights)
+        w_pad = w_pad.at[idx * t_max + pos].set(weights, mode='drop')
         ctx2d = jnp.zeros((raw_batch, t_max), jnp.int32)
         ctx2d = ctx2d.at[idx, pos].set(
-            context_lens.astype(jnp.int32).reshape(-1))
+            context_lens.astype(jnp.int32).reshape(-1), mode='drop')
         bt_seq = block_table[first_row]
         out = paged_mqa_logits(q_pad, kv_cache, kv_sf, w_pad, ctx2d,
                                bt_seq, max_context_len,

