@@ -224,17 +224,24 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     nsf_total = sfa_t.shape[0] if is_scaled else 0
     a_bytes = jnp.dtype(a.dtype).itemsize
     b_bytes = jnp.dtype(b.dtype).itemsize
-    budget0 = 11 * 1024 * 1024
-    n_out_blocks = 3 if has_c else 2       # c + d + acc vs d + acc
+    budget0 = 12 * 1024 * 1024 + 512 * 1024
+
+    def _fixed_est(bm_c, bn_c):
+        # acc (1x) + double-buffered d (2x) + double-buffered c when present
+        # (2x) + double-buffered SF panels. The round-3 first cut ignored the
+        # out-block double buffering and overflowed real scoped VMEM (16.84M
+        # vs the 16M ceiling) at (1024, 512, 1024) with c.
+        out_blocks = 1 + 2 + (2 if has_c else 0)
+        return bm_c * bn_c * 4 * out_blocks \
+            + nsf_total * (bm_c + bn_c) * 4 * 2
+
     best_pick = None
     for cm in (1024, 512, 256):
         for cn in (1024, 512, 256):
             bm_c = min(cm, m) if m % 128 == 0 else m
             bn_c = min(cn, n) if n % 128 == 0 else n
-            fixed0 = bm_c * bn_c * 4 * n_out_blocks \
-                + nsf_total * (bm_c + bn_c) * 4
             per_k0 = (bm_c * a_bytes + bn_c * b_bytes) * 2
-            if budget0 - fixed0 < per_k0 * k_alignment:
+            if budget0 - _fixed_est(bm_c, bn_c) < per_k0 * k_alignment:
                 continue
             traffic = (ceil_div(n, bn_c) * m * total_k * a_bytes
                        + ceil_div(m, bm_c) * n * total_k * b_bytes)
@@ -268,7 +275,7 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         g = int(total_k)
         for s in starts[1:]:
             g = math.gcd(g, int(s))
-        fixed = bm * bn * 4 * n_out_blocks + nsf_total * (bm + bn) * 4
+        fixed = _fixed_est(bm, bn)
         per_k = (bm * a_bytes + bn * b_bytes) * 2
         fit = max((budget0 - fixed) // per_k, k_alignment)
         best = k_alignment
