@@ -21,6 +21,11 @@ runtime/native.py; this module documents them and provides the same
 | ``DGT_DISABLE_KERNEL_CACHE`` | rebuild traced kernels on every call     | ``DG_JIT_DISABLE_CACHE`` |
 | ``DGT_SCALE_STRATEGY``    | force 'promote' / 'dequant' FP8 scaling     | (recipe/arch dispatch) |
 | ``DGT_TEST_PLATFORM``     | tests: 'cpu' (virtual mesh) or 'tpu'        | (CI matrix) |
+| ``DGT_DUMP_DIR``          | dump lowered StableHLO (w/ embedded Mosaic  | ``DG_JIT_DUMP`` /
+|                           | module) + spec per kernel into this dir     | ``DG_JIT_DUMP_ASM/PTX/SASS`` |
+| ``DGT_DUMP_HLO``          | with DUMP_DIR: also dump post-XLA-opt HLO   | ``DG_JIT_DUMP_SASS`` |
+|                           | (forces an extra compile per spec)          | |
+| ``DGT_KG_TILES``          | pin k-grouped wgrad tiles "bm,bn[,bk]"      | (per-config JIT overrides) |
 """
 
 import os
@@ -39,5 +44,6 @@ def describe() -> dict:
              'DGT_DISABLE_NATIVE', 'DGT_NUM_CORES', 'DGT_MK_ALIGNMENT',
              'DGT_IGNORE_COMPILE_DIMS', 'DGT_PRINT_CONFIGS', 'DGT_DEBUG',
              'DGT_INTERPRET', 'DGT_DISABLE_KERNEL_CACHE',
-             'DGT_SCALE_STRATEGY', 'DGT_TEST_PLATFORM']
+             'DGT_SCALE_STRATEGY', 'DGT_TEST_PLATFORM',
+             'DGT_DUMP_DIR', 'DGT_DUMP_HLO', 'DGT_KG_TILES']
     return {n: os.environ.get(n) for n in names}

@@ -119,3 +119,26 @@ def test_cache_python_fallback(tmp_path, monkeypatch):
     native.cache_put(d, 'entry', b'xyz')
     assert native.cache_get(d, 'entry') == b'xyz'
     assert native.fnv1a(b'abc') == native._fnv1a_py(b'abc')
+
+
+def test_dump_dir_writes_artifacts(tmp_path, monkeypatch):
+    """DGT_DUMP_DIR writes spec + lowered StableHLO on first kernel call
+    (the DG_JIT_DUMP / DG_JIT_DUMP_ASM analog,
+    /root/reference/csrc/jit/compiler.hpp:116-127,151-161)."""
+    monkeypatch.setenv('DGT_DUMP_DIR', str(tmp_path / 'dump'))
+    monkeypatch.setenv('DGT_DUMP_HLO', '1')
+    # Rebuild so the wrapper is applied even if this spec was cached already.
+    monkeypatch.setenv('DGT_DISABLE_KERNEL_CACHE', '1')
+    import deepgemm_tpu as dg
+    a = jnp.asarray(np.random.randn(128, 256), dtype=jnp.bfloat16)
+    b = jnp.asarray(np.random.randn(128, 256), dtype=jnp.bfloat16)
+    dg.fp8_gemm_nt(dg.per_token_cast_to_fp8(a, use_ue8m0=False),
+                   dg.per_block_cast_to_fp8(b, use_ue8m0=False))
+    dirs = list((tmp_path / 'dump').iterdir())
+    assert len(dirs) == 1 and dirs[0].name.startswith('DenseGemmSpec_')
+    names = {p.name for p in dirs[0].iterdir()}
+    assert names == {'spec.txt', 'lowered_stablehlo.mlir', 'optimized_hlo.txt'}
+    assert dirs[0].joinpath('spec.txt').read_text().startswith('DenseGemmSpec')
+    assert 'stablehlo' in dirs[0].joinpath(
+        'lowered_stablehlo.mlir').read_text() or dirs[0].joinpath(
+        'lowered_stablehlo.mlir').stat().st_size > 0
