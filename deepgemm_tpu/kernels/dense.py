@@ -202,14 +202,17 @@ def _build_dense_gemm(spec: DenseGemmSpec):
             sfa_ref, sfb_ref = refs[idx], refs[idx + 1]
             idx += 2
         c_ref = refs[idx] if spec.accumulate else None
-        d_ref = refs[-2]
-        acc_ref = refs[-1]
+        if gk == 1:
+            d_ref, acc_ref = refs[-1], None
+        else:
+            d_ref, acc_ref = refs[-2], refs[-1]
 
         ki = pl.program_id(2)
 
-        @pl.when(ki == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+        if gk > 1:
+            @pl.when(ki == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
 
         a_blk = a_ref[:]
         b_blk = (decode_fp4_planar_block(b_ref[:], bn, bk)
@@ -221,27 +224,39 @@ def _build_dense_gemm(spec: DenseGemmSpec):
             b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
 
         if not is_scaled:
-            acc_ref[:] += dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor)
+            part = dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor)
         elif dequant:
             sfa_exp = _expand_sf(sfa_ref[0], spec.a_kmajor, gka)
             sfb_exp = _expand_sf(sfb_ref[0], spec.b_kmajor, gkb)
             a_s = a_blk.astype(jnp.bfloat16) * sfa_exp.astype(jnp.bfloat16)
             b_s = b_blk.astype(jnp.bfloat16) * sfb_exp.astype(jnp.bfloat16)
-            acc_ref[:] += dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
+            part = dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
         else:
             # Exact promotion over scale-granularity sub-blocks (reference:
             # sm90_fp8_gemm_1d2d.cuh:332-347). FP8 operands feed the MXU
             # directly (bit-identical to a bf16 upcast, ~2x faster on this
             # TPU gen); SF slices arrive exact through the BlockSpecs.
-            acc_ref[:] += promote_block(spec, bk, k, a_blk, b_blk,
-                                        sfa_ref[0], sfb_ref[0])
+            part = promote_block(spec, bk, k, a_blk, b_blk,
+                                 sfa_ref[0], sfb_ref[0])
 
-        @pl.when(ki == gk - 1)
-        def _():
-            res = acc_ref[:]
+        if gk == 1:
+            # Single full-depth k step (the measured-best deep-k configs):
+            # write d directly — no acc zero/read/write roundtrip, and the
+            # freed (bm, bn) f32 scratch stays available to the pipeline.
+            # Bitwise-identical: acc would be 0 + part.
+            res = part
             if spec.accumulate:
                 res = res + c_ref[:].astype(jnp.float32)
             d_ref[:] = res.astype(out_dtype)
+        else:
+            acc_ref[:] += part
+
+            @pl.when(ki == gk - 1)
+            def _():
+                res = acc_ref[:]
+                if spec.accumulate:
+                    res = res + c_ref[:].astype(jnp.float32)
+                d_ref[:] = res.astype(out_dtype)
 
     flops = 2 * m * n * k
     call = pl.pallas_call(
@@ -250,7 +265,8 @@ def _build_dense_gemm(spec: DenseGemmSpec):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=([] if gk == 1 else
+                        [pltpu.VMEM((bm, bn), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary'),
         ),

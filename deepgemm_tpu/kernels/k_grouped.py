@@ -20,6 +20,7 @@ sublane slices (exact f32).
 
 import dataclasses
 import math
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -60,6 +61,19 @@ class KGroupedGemmSpec:
     # m/n, not for speed. The remaining gap vs dense NT is under
     # investigation (see CLAUDE.md open items).
     k_major: bool = False
+    # Static equal-group fast path: when the layout is host-concrete with
+    # equal-size non-empty groups (the standard wgrad case — G experts, one
+    # k slab each), every per-k-tile quantity is plain index arithmetic:
+    #   gid = s // static_spg, first = (s % spg == 0), last = (s % spg ==
+    #   spg-1), sf row = gid * static_nsfg + (s % spg) * bk // gran + ...
+    # so the kernel is built WITHOUT scalar-prefetch operands. Rationale:
+    # prefetch-array-dependent index maps cost measurable per-step overhead
+    # (the grouped align-128 gap, CLAUDE.md), and the wgrad per-step time
+    # measured on v5e ~= compute + IO summed — the static maps give Mosaic
+    # the same statically-analyzable pipeline as the dense kernel (which
+    # overlaps at 176 TFLOPS).
+    static_spg: Optional[int] = None    # k-tiles (grid steps) per group
+    static_nsfg: Optional[int] = None   # SF rows per group
 
 
 def _build_k_grouped(spec: KGroupedGemmSpec):
@@ -71,8 +85,17 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
     nsf = spec.nsf_total
     gsub = math.gcd(gran, bk)
     kmaj = spec.k_major
+    spg = spec.static_spg        # None => dynamic-layout (scalar-prefetch)
+    nsfg = spec.static_nsfg
+    n_pf = 0 if spg else 5
 
-    # Prefetch operands: gid[nt], first[nt], last[nt], sf_start[nt], local_base[nt]
+    # Prefetch operands (dynamic path only): gid[nt], first[nt], last[nt],
+    # sf_start[nt], local_base[nt]. The static path derives the group id in
+    # the index maps themselves (s // spg): no prefetch operands at all, so
+    # Mosaic sees the same statically-analyzable pipeline as the dense kernel.
+    def _gid(s, pf):
+        return s // spg if spg else pf[0][s]
+
     in_specs = [
         (pl.BlockSpec((bm, bk), lambda i, j, s, *pf: (i, s),
                       memory_space=pltpu.VMEM) if kmaj else
@@ -85,7 +108,8 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
     ]
     if spec.has_c:
         in_specs.append(
-            pl.BlockSpec((1, bm, bn), lambda i, j, s, gid, *pf: (gid[s], i, j),
+            pl.BlockSpec((1, bm, bn),
+                         lambda i, j, s, *pf: (_gid(s, pf), i, j),
                          memory_space=pltpu.VMEM))
     if spec.is_scaled:
         # SFs are k-first ([nsf, m] / [nsf, n]) so the kernel can pick the
@@ -95,18 +119,27 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                                      memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((nsf, bn), lambda i, j, s, *pf: (0, j),
                                      memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, bm, bn), lambda i, j, s, gid, *pf: (gid[s], i, j),
+    out_spec = pl.BlockSpec((1, bm, bn),
+                            lambda i, j, s, *pf: (_gid(s, pf), i, j),
                             memory_space=pltpu.VMEM)
 
-    def kernel(gid_ref, first_ref, last_ref, sfstart_ref, localbase_ref,
-               *refs):
+    def kernel(*all_refs):
+        pf_refs, refs = all_refs[:n_pf], all_refs[n_pf:]
         a_ref, b_ref = refs[0], refs[1]
         c_ref = refs[2] if spec.has_c else None
         d_ref = refs[-2]
         acc_ref = refs[-1]
         s = pl.program_id(2)
+        if spg:
+            sloc = jax.lax.rem(s, spg)
+            is_first = sloc == 0
+            is_last = sloc == spg - 1
+        else:
+            gid_ref, first_ref, last_ref, sfstart_ref, localbase_ref = pf_refs
+            is_first = first_ref[s] == 1
+            is_last = last_ref[s] == 1
 
-        @pl.when(first_ref[s] == 1)
+        @pl.when(is_first)
         def _():
             if spec.has_c:
                 acc_ref[:] = c_ref[0].astype(jnp.float32)
@@ -125,7 +158,12 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                 # SF row for this sub-slice: group-compact rows
                 # (generators.py:411-433 contract). Out-of-group tiles only
                 # multiply zero-padded data; clamp keeps the read in-bounds.
-                row = sfstart_ref[s] + (localbase_ref[s] + t * gsub) // gran
+                if spg:
+                    row = (s // spg) * nsfg + jnp.minimum(
+                        (sloc * bk + t * gsub) // gran, nsfg - 1)
+                else:
+                    row = sfstart_ref[s] + \
+                        (localbase_ref[s] + t * gsub) // gran
                 row = jnp.minimum(row, nsf - 1)
                 p = dot_mn(k_slice(a_blk, kmaj, t * gsub, gsub),
                            k_slice(b_blk, kmaj, t * gsub, gsub), kmaj, kmaj)
@@ -135,12 +173,12 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                 total = term if total is None else total + term
             acc_ref[:] += total
 
-        @pl.when(last_ref[s] == 1)
+        @pl.when(is_last)
         def _():
             d_ref[0] = acc_ref[:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=n_pf,
         grid=(gm, gn, nt),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -254,7 +292,6 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
 
     # Profiling escape hatch: DGT_KG_TILES="bm,bn[,bk]" pins the tile choice
     # (the analog of the reference's DG_PRINT_CONFIGS-guided manual sweeps).
-    import os
     _ovr = os.environ.get('DGT_KG_TILES')
     if _ovr:
         parts = [int(x) for x in _ovr.split(',')]
@@ -300,21 +337,40 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         bk = bk_override
     assert total_k % bk == 0, (total_k, bk)
 
+    # Static equal-group fast path (see KGroupedGemmSpec.static_spg): all
+    # per-tile metadata collapses to index arithmetic, so the kernel builds
+    # without scalar-prefetch operands. DGT_KG_FORCE_PREFETCH=1 pins the
+    # dynamic path for A/B measurement.
+    static_spg = static_nsfg = None
+    if (layout_np is not None
+            and not os.environ.get('DGT_KG_FORCE_PREFETCH')):
+        sizes = np.asarray(layout_np, np.int64)
+        if (sizes.size == num_groups and np.all(sizes == sizes[0])
+                and sizes[0] > 0):
+            padded_kpg = int(align(int(sizes[0]), k_alignment))
+            if padded_kpg * num_groups == total_k and padded_kpg % bk == 0:
+                static_spg = padded_kpg // bk
+                static_nsfg = ceil_div(int(sizes[0]), gran_k)
+
     spec = KGroupedGemmSpec(
         num_groups=num_groups, m=m, n=n, total_k=total_k,
         a_dtype=str(a.dtype), b_dtype=str(b.dtype), is_scaled=is_scaled,
         gran_k=gran_k, nsf_total=nsf_total,
-        block_m=bm, block_n=bn, block_k=bk, k_major=k_major, has_c=has_c)
+        block_m=bm, block_n=bn, block_k=bk, k_major=k_major, has_c=has_c,
+        static_spg=static_spg, static_nsfg=static_nsfg)
     fn = kernel_cache().get_or_build(spec, lambda: _build_k_grouped(spec))
     if k_major:
         a = jnp.swapaxes(a, 0, 1)          # [m, total_k]
         b = jnp.swapaxes(b, 0, 1)          # [n, total_k]
 
-    gid, first, last, sf_start, local_base, real_ks = compute_k_tile_metadata(
-        grouped_layout, num_groups, total_k, bk, gran_k, k_alignment,
-        use_psum_layout)
-
-    args = [gid, first, last, sf_start, local_base, a, b]
+    if static_spg is not None:
+        args = [a, b]
+    else:
+        (gid, first, last, sf_start, local_base,
+         real_ks) = compute_k_tile_metadata(
+            grouped_layout, num_groups, total_k, bk, gran_k, k_alignment,
+            use_psum_layout)
+        args = [gid, first, last, sf_start, local_base, a, b]
     if has_c:
         args.append(c)
     if is_scaled:
@@ -322,6 +378,8 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     d = fn(*args)
     # Empty groups own no k-tiles, so their d block is never written: splice
     # c (or zero) back in (matches ref_d[i] = c[i],
-    # tests/generators.py:513-516).
+    # tests/generators.py:513-516). Static path excludes empty groups.
+    if static_spg is not None:
+        return d
     empty = (real_ks == 0)[:, None, None]
     return jnp.where(empty, c if has_c else jnp.zeros_like(d), d)

@@ -74,23 +74,31 @@ def _build_paged_mqa(spec: PagedMQASpec):
 
     assert spec.linear_cache, \
         'the paged (zero-copy) strategy builds via _build_paged_mqa_zerocopy'
+    # No index map consumes the scalar operands (the block table was already
+    # applied by the XLA gather pass; ctx gates in-body only), so ctx rides
+    # as a plain SMEM operand and the grid spec stays prefetch-free — same
+    # machinery finding as the grouped/k-grouped static paths.
+    n_ctx = b_sz * nn if spec.ctx_2d else b_sz
     in_specs = [
+        # context lens (SMEM, in-body predicate only)
+        pl.BlockSpec((n_ctx,), lambda b, c: (0,),
+                     memory_space=pltpu.SMEM),
         # q [B, next_n*h, d]
-        pl.BlockSpec((1, nn * h, d), lambda b, c, bt, ctx: (b, 0, 0),
+        pl.BlockSpec((1, nn * h, d), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         # weights [B, next_n, h]
-        pl.BlockSpec((1, nn, h), lambda b, c, bt, ctx: (b, 0, 0),
+        pl.BlockSpec((1, nn, h), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         # contiguous per-batch cache [B, mb*bkv, d] + sf [B, 1, mb*bkv]
-        pl.BlockSpec((1, tile_kv, d), lambda b, c, bt, ctx: (b, c, 0),
+        pl.BlockSpec((1, tile_kv, d), lambda b, c: (b, c, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+        pl.BlockSpec((1, 1, tile_kv), lambda b, c: (b, 0, c),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+    out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c: (b, 0, c),
                             memory_space=pltpu.VMEM)
 
-    def kernel(bt_ref, ctx_ref, q_ref, w_ref, *refs):
+    def kernel(ctx_ref, q_ref, w_ref, *refs):
         out_ref = refs[-1]
         b = pl.program_id(0)
         c = pl.program_id(1)
@@ -139,7 +147,7 @@ def _build_paged_mqa(spec: PagedMQASpec):
                                    jnp.asarray(NEG_INF, out_dtype))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(b_sz, gkv),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -176,16 +184,24 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
     tile_kv = bpt * bkv
     gkv = ceil_div(spec.max_model_len, tile_kv)
 
+    # bt/ctx are consumed in-body only (page indices for the manual DMAs,
+    # the active predicate) — plain SMEM operands, prefetch-free grid spec
+    # (same machinery finding as the gather path).
+    n_ctx = b_sz * nn if spec.ctx_2d else b_sz
     in_specs = [
-        pl.BlockSpec((1, nn * h, d), lambda b, c, bt, ctx: (b, 0, 0),
+        pl.BlockSpec((b_sz * mb,), lambda b, c: (0,),
+                     memory_space=pltpu.SMEM),                 # block table
+        pl.BlockSpec((n_ctx,), lambda b, c: (0,),
+                     memory_space=pltpu.SMEM),                 # context lens
+        pl.BlockSpec((1, nn * h, d), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),                 # q
-        pl.BlockSpec((1, nn, h), lambda b, c, bt, ctx: (b, 0, 0),
+        pl.BlockSpec((1, nn, h), lambda b, c: (b, 0, 0),
                      memory_space=pltpu.VMEM),                 # weights
         pl.BlockSpec(memory_space=pl.ANY),                     # kv cache (HBM)
-        pl.BlockSpec((1, 1, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+        pl.BlockSpec((1, 1, tile_kv), lambda b, c: (b, 0, c),
                      memory_space=pltpu.VMEM),                 # linear sf
     ]
-    out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c, bt, ctx: (b, 0, c),
+    out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c: (b, 0, c),
                             memory_space=pltpu.VMEM)
 
     def kernel(bt_ref, ctx_ref, q_ref, w_ref, kv_hbm, sf_ref, out_ref,
@@ -273,7 +289,7 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
             issue_tile(nb, nc, 1 - slot)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=0,
         grid=(b_sz, gkv),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -335,9 +351,10 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
     sf_lin = kv_sf.astype(jnp.float32)[bt2].reshape(b_sz, 1, mb * bkv)
     if linear:
         # one XLA gather pass makes the per-batch cache contiguous; the
-        # kernel then streams full tiles (large DMAs)
+        # kernel then streams full tiles (large DMAs). bt is consumed by the
+        # gather — the kernel itself is prefetch-free (ctx rides in SMEM).
         kv_lin = kv_cache[bt2].reshape(b_sz, mb * bkv, d)
-        args = [bt, ctx, q3, w3, kv_lin, sf_lin]
+        args = [ctx, q3, w3, kv_lin, sf_lin]
     else:
         args = [bt, ctx, q3, w3, kv_cache, sf_lin]
     out = fn(*args)

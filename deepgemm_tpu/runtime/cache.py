@@ -44,6 +44,11 @@ class KernelCache:
     def __len__(self):
         return len(self._cache)
 
+    def specs(self):
+        """Snapshot of cached kernel specs (introspection/tests)."""
+        with self._lock:
+            return list(self._cache.keys())
+
     def clear(self):
         with self._lock:
             self._cache.clear()

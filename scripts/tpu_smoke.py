@@ -77,6 +77,26 @@ def main():
     bd = np.asarray(bkq, np.float32) * np.repeat(np.asarray(bksf), 128, 0)[:tk]
     check('k_grouped_fp8 wgrad', calc_diff(dk[0], ad[:256].T @ bd[:256]), 2e-4)
 
+    # masked grouped (decode MoE) — SMEM masked_m operand + gk==1 direct write
+    Gm, mxm, nm, km = 4, 128, 256, 384
+    am = jnp.asarray(rng.randn(Gm, mxm, km) * 0.1, jnp.bfloat16)
+    bm_ = jnp.asarray(rng.randn(Gm, nm, km) * 0.1, jnp.bfloat16)
+    mmask = jnp.asarray([128, 64, 32, 128], jnp.int32)
+    aqs = [dg.per_token_cast_to_fp8(am[g], use_ue8m0=False)
+           for g in range(Gm)]
+    bqs = [dg.per_block_cast_to_fp8(bm_[g], use_ue8m0=False)
+           for g in range(Gm)]
+    amq = (jnp.stack([v for v, _ in aqs]), jnp.stack([s for _, s in aqs]))
+    bmq = (jnp.stack([v for v, _ in bqs]), jnp.stack([s for _, s in bqs]))
+    dmk = dg.m_grouped_fp8_gemm_nt_masked(amq, bmq, masked_m=mmask,
+                                          expected_m=96)
+    worst = 0.0
+    for g in range(Gm):
+        rg = np.asarray(am[g], np.float32) @ np.asarray(bm_[g], np.float32).T
+        v = int(mmask[g])
+        worst = max(worst, calc_diff(dmk[g, :v], rg[:v]))
+    check('m_grouped_fp8 masked', worst, 1e-3)
+
     # MQA prefill + paged decode
     sq, skv, h, dh = 64, 256, 4, 64
     q = jnp.asarray(rng.randn(sq, h, dh), jnp.bfloat16)
@@ -117,6 +137,13 @@ def main():
     msk = np.arange(mml) < int(ctx[i])
     check('fp8_paged_mqa_logits', calc_diff(
         np.where(msk, np.asarray(lgp)[i], 0), np.where(msk, vr, 0)), 1e-4)
+
+    # zero-copy paged strategy must be bitwise-identical to gather
+    lgz = dg.fp8_fp4_paged_mqa_logits((qp, None), (kvv, kvs), wp, ctx, bt,
+                                      max_context_len=mml,
+                                      strategy='zerocopy')
+    zc_diff = 0.0 if np.array_equal(np.asarray(lgz), np.asarray(lgp)) else 1.0
+    check('paged zerocopy==gather (bitwise)', zc_diff, 1e-9)
 
     print(f'total {time.perf_counter() - t0:.0f}s; '
           f'{"ALL PASS" if not failures else "FAILURES: " + str(failures)}',

@@ -128,3 +128,39 @@ def test_m_grouped_contiguous_gcd_lift_divisor():
     d2 = dg.m_grouped_bf16_gemm_nt_contiguous(a, b, grouped_layout=ends,
                                               use_psum_layout=True)
     assert calc_diff(d2, ref) < 1e-5
+
+
+@pytest.mark.parametrize('use_fp8', [True, False])
+def test_m_grouped_contiguous_static_equals_prefetch(monkeypatch, use_fp8):
+    """Equal full host-concrete groups (layout == repeat(arange(G), mpg))
+    take the prefetch-free static path (gid = i // static_tpg in the index
+    maps); it must be bitwise-equal to the scalar-prefetch kernel, for both
+    the ids and the psum layout forms."""
+    num_groups, rows, n, k = 4, 256, 256, 384
+    m = num_groups * rows
+    rng = np.random.RandomState(31)
+    a = jnp.asarray(rng.randn(m, k).astype(np.float32), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(num_groups, n, k).astype(np.float32),
+                    jnp.bfloat16)
+    ids = jnp.asarray(np.repeat(np.arange(num_groups, dtype=np.int32), rows))
+    ends = jnp.asarray(np.arange(1, num_groups + 1, dtype=np.int32) * rows)
+    if use_fp8:
+        aq = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+        bvs, bss = zip(*[dg.per_block_cast_to_fp8(b[g], use_ue8m0=False)
+                         for g in range(num_groups)])
+        bq = (jnp.stack(bvs), jnp.stack(bss))
+        run = lambda lay, psum: dg.m_grouped_fp8_gemm_nt_contiguous(
+            aq, bq, grouped_layout=lay, use_psum_layout=psum)
+    else:
+        run = lambda lay, psum: dg.m_grouped_bf16_gemm_nt_contiguous(
+            a, b, grouped_layout=lay, use_psum_layout=psum)
+    d_static = run(ids, False)
+    d_static_psum = run(ends, True)
+    monkeypatch.setenv('DGT_GROUPED_FORCE_PREFETCH', '1')
+    d_pf = run(ids, False)
+    np.testing.assert_array_equal(np.asarray(d_static), np.asarray(d_pf))
+    np.testing.assert_array_equal(np.asarray(d_static_psum), np.asarray(d_pf))
+
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    assert any(getattr(s, 'static_tpg', None) for s in kernel_cache().specs()), \
+        'equal-group layout did not take the static path'

@@ -135,3 +135,31 @@ def test_k_grouped_c_none_equals_zero_c(use_fp8):
     d_none = fn(a, b, ks=ks, grouped_layout=ks_arr, c=None)
     np.testing.assert_array_equal(np.asarray(d_none), np.asarray(d_zero))
     assert not np.asarray(d_none[1]).any()   # empty group stays zero
+
+
+@pytest.mark.parametrize('use_fp8', [True, False])
+@pytest.mark.parametrize('ks', [[256, 256, 256, 256], [384, 384, 384, 384]])
+def test_k_grouped_static_equals_prefetch(monkeypatch, ks, use_fp8):
+    """Equal host-concrete groups take the prefetch-free static path
+    (gid = s // static_spg baked into the index maps); it must be
+    bitwise-equal to the dynamic scalar-prefetch kernel. The 384-case
+    exercises a non-power-of-two slab (bk 384 = 3 SF rows per tile)."""
+    num_groups, m, n = len(ks), 128, 256
+    k, a, b, c, ref_d, ks_arr = generate_k_grouped_contiguous(
+        num_groups, m, n, ks, use_fp8=use_fp8)
+    fn = (dg.k_grouped_fp8_gemm_tn_contiguous if use_fp8
+          else dg.k_grouped_bf16_gemm_tn_contiguous)
+    d_static = fn(a, b, ks=ks, grouped_layout=ks_arr, c=c)
+    monkeypatch.setenv('DGT_KG_FORCE_PREFETCH', '1')
+    d_prefetch = fn(a, b, ks=ks, grouped_layout=ks_arr, c=c)
+    np.testing.assert_array_equal(np.asarray(d_static),
+                                  np.asarray(d_prefetch))
+    tol = 1e-3 if use_fp8 else 1e-5
+    for g in range(num_groups):
+        assert calc_diff(d_static[g], ref_d[g]) < tol
+
+    # the default path must actually have built the static spec
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    specs = [s for s in kernel_cache().specs()
+             if getattr(s, 'static_spg', None)]
+    assert specs, 'equal-group layout did not take the static path'
