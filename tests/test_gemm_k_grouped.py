@@ -163,3 +163,48 @@ def test_k_grouped_static_equals_prefetch(monkeypatch, ks, use_fp8):
     specs = [s for s in kernel_cache().specs()
              if getattr(s, 'static_spg', None)]
     assert specs, 'equal-group layout did not take the static path'
+
+
+def test_k_grouped_psum_equal_static_equals_prefetch(monkeypatch):
+    """Equal FULL psum groups (ends = [256, 512, 768]) also take the static
+    path (the psum->sizes diff gives equal aligned sizes); bitwise vs the
+    prefetch kernel."""
+    import jax
+    G, kpg, m, n = 3, 256, 128, 256
+    total_k = G * kpg
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.randn(total_k, m) * .1, jnp.bfloat16)
+    b = jnp.asarray(rng.randn(total_k, n) * .1, jnp.bfloat16)
+    c = jnp.asarray(rng.randn(G, m, n).astype(np.float32))
+    ends = jnp.asarray(np.arange(1, G + 1, dtype=np.int32) * kpg)
+    run = lambda: dg.k_grouped_bf16_gemm_tn_contiguous(
+        a, b, grouped_layout=ends, c=c, use_psum_layout=True)
+    d_static = run()
+    monkeypatch.setenv('DGT_KG_FORCE_PREFETCH', '1')
+    d_pf = run()
+    np.testing.assert_array_equal(np.asarray(d_static), np.asarray(d_pf))
+
+
+def test_k_grouped_traced_layout_stays_graph_safe():
+    """A TRACED grouped_layout (no ks_cpu) must use the dynamic
+    scalar-prefetch kernel — group sizes are read on device only, the
+    CUDA-graph-safety analog (/root/reference/csrc/apis/gemm.hpp masked
+    contract). The call must trace/compile without host sync."""
+    import jax
+    G, kpg, m, n = 2, 256, 128, 256
+    total_k = G * kpg
+    rng = np.random.RandomState(9)
+    a = jnp.asarray(rng.randn(total_k, m) * .1, jnp.bfloat16)
+    b = jnp.asarray(rng.randn(total_k, n) * .1, jnp.bfloat16)
+    from deepgemm_tpu.kernels.k_grouped import k_grouped_gemm
+
+    @jax.jit
+    def f(a_, b_, lay):
+        return k_grouped_gemm(a_, b_, None, lay, use_psum_layout=False)
+
+    d = f(a, b, jnp.asarray([kpg, kpg], jnp.int32))
+    ref = np.stack([
+        np.asarray(a[g * kpg:(g + 1) * kpg], np.float32).T
+        @ np.asarray(b[g * kpg:(g + 1) * kpg], np.float32)
+        for g in range(G)])
+    assert calc_diff(d, ref) < 1e-5
