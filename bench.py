@@ -21,8 +21,31 @@ import json
 import math
 import os
 import shutil
+import socket
 import sys
 import time
+
+
+def _fail_fast_if_relay_dead():
+    """Under the axon tunnel, jax.devices() HANGS (not errors) when the local
+    relay process is down — a dead relay would stall the driver's bench run
+    forever. Probe the relay's remote-compile port with a TCP connect and
+    emit an honest error line instead."""
+    if os.environ.get('PALLAS_AXON_POOL_IPS') \
+            and os.environ.get('JAX_PLATFORMS') == 'axon':
+        try:
+            socket.create_connection(('127.0.0.1', 8083), timeout=10).close()
+        except OSError:
+            print(json.dumps({
+                'metric': 'fp8_scaled_gemm_geomean_tflops', 'value': 0.0,
+                'unit': 'TFLOPS', 'vs_baseline': 0.0,
+                'error': 'axon relay down (no listener on 127.0.0.1:8083); '
+                         'TPU unreachable — bench aborted instead of hanging',
+            }))
+            sys.exit(1)
+
+
+_fail_fast_if_relay_dead()
 
 import numpy as np
 import jax

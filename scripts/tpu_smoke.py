@@ -8,10 +8,22 @@ Usage: python scripts/tpu_smoke.py
 """
 
 import os
+import socket
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Under the axon tunnel jax.devices() HANGS (not errors) when the local relay
+# is down — fail fast with a clear message instead (same guard as bench.py).
+if os.environ.get('PALLAS_AXON_POOL_IPS') \
+        and os.environ.get('JAX_PLATFORMS') == 'axon':
+    try:
+        socket.create_connection(('127.0.0.1', 8083), timeout=10).close()
+    except OSError:
+        print('FAIL  axon relay down (no listener on 127.0.0.1:8083); '
+              'TPU unreachable — smoke aborted instead of hanging')
+        sys.exit(1)
 
 import numpy as np
 import jax
