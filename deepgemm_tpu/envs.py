@@ -26,6 +26,11 @@ runtime/native.py; this module documents them and provides the same
 | ``DGT_DUMP_HLO``          | with DUMP_DIR: also dump post-XLA-opt HLO   | ``DG_JIT_DUMP_SASS`` |
 |                           | (forces an extra compile per spec)          | |
 | ``DGT_KG_TILES``          | pin k-grouped wgrad tiles "bm,bn[,bk]"      | (per-config JIT overrides) |
+| ``DGT_KG_FORCE_PREFETCH`` | k-grouped: pin the dynamic scalar-prefetch  | (A/B profiling of the |
+|                           | kernel even for equal host-concrete groups  | static-layout paths) |
+| ``DGT_GROUPED_FORCE_PREFETCH`` | same for the contiguous grouped kernel | |
+| ``DGT_FORCE_MOSAIC``      | build real Mosaic lowering on a CPU host    | (scripts/lowering_check.py |
+|                           | (for jax.export cross-lowering checks)      | chip-free compile checks) |
 """
 
 import os
@@ -45,5 +50,7 @@ def describe() -> dict:
              'DGT_IGNORE_COMPILE_DIMS', 'DGT_PRINT_CONFIGS', 'DGT_DEBUG',
              'DGT_INTERPRET', 'DGT_DISABLE_KERNEL_CACHE',
              'DGT_SCALE_STRATEGY', 'DGT_TEST_PLATFORM',
-             'DGT_DUMP_DIR', 'DGT_DUMP_HLO', 'DGT_KG_TILES']
+             'DGT_DUMP_DIR', 'DGT_DUMP_HLO', 'DGT_KG_TILES',
+             'DGT_KG_FORCE_PREFETCH', 'DGT_GROUPED_FORCE_PREFETCH',
+             'DGT_FORCE_MOSAIC']
     return {n: os.environ.get(n) for n in names}

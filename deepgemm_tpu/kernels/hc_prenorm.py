@@ -36,26 +36,40 @@ def _build_hc_prenorm(spec: HCPrenormSpec):
     gm, gn, gk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
     has_k_tail = (k % bk) != 0
 
-    def kernel(a_ref, b_ref, d_ref, s_ref, acc_ref, sacc_ref):
+    def kernel(a_ref, b_ref, d_ref, s_ref, *scratch):
+        acc_ref, sacc_ref = scratch if gk > 1 else (None, None)
         j = pl.program_id(1)
         ki = pl.program_id(2)
 
-        @pl.when(ki == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+        if gk > 1:
+            @pl.when(ki == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when((ki == 0) & (j == 0))
-        def _():
-            sacc_ref[:] = jnp.zeros_like(sacc_ref)
+            @pl.when((ki == 0) & (j == 0))
+            def _():
+                sacc_ref[:] = jnp.zeros_like(sacc_ref)
 
         a_blk = a_ref[:].astype(jnp.float32)
         if has_k_tail:
             ids = jax.lax.broadcasted_iota(jnp.int32, a_blk.shape, 1)
             a_blk = jnp.where(ki * bk + ids < k, a_blk, jnp.zeros_like(a_blk))
-        acc_ref[:] += jax.lax.dot_general(
+        part = jax.lax.dot_general(
             a_blk, b_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
+
+        if gk == 1:
+            # single full-depth k step: direct writes, no scratch roundtrip
+            # (bitwise-identical: acc would be 0 + part)
+            d_ref[:] = part
+
+            @pl.when(j == 0)
+            def _():
+                s_ref[:] = jnp.sum(a_blk * a_blk, axis=1, keepdims=True)
+            return
+
+        acc_ref[:] += part
 
         # sum(a^2) accumulated once per (i, ki) — only on the first n-tile
         # (reference fuses this via warp shuffles,
@@ -87,8 +101,9 @@ def _build_hc_prenorm(spec: HCPrenormSpec):
             jax.ShapeDtypeStruct((m, n), jnp.float32),
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
-                        pltpu.VMEM((bm, 1), jnp.float32)],
+        scratch_shapes=([] if gk == 1 else
+                        [pltpu.VMEM((bm, bn), jnp.float32),
+                         pltpu.VMEM((bm, 1), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'arbitrary', 'arbitrary'),
         ),

@@ -174,4 +174,10 @@ def is_cpu_backend() -> bool:
     shapes Mosaic rejects — it's a numerics debugger, not a compile check."""
     if get_bool_env('DGT_INTERPRET'):
         return True
+    # DGT_FORCE_MOSAIC=1: build the real Mosaic lowering even on a CPU host
+    # — for `jax.export`-based cross-platform lowering checks (catches
+    # lane-rule / block-shape errors at trace time without a chip; the
+    # VMEM-limit class still needs the device compiler).
+    if get_bool_env('DGT_FORCE_MOSAIC'):
+        return False
     return jax.default_backend() == 'cpu'

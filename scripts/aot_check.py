@@ -1,0 +1,168 @@
+"""Chipless TPU AOT-compile check: compiles the headline kernel specs against
+a v5e topology using the LOCAL libtpu (no chip, no relay), reproducing the
+device compiler exactly — including the VMEM-overflow class that remote
+compiles surface as HTTP 500 (verified: the (512,1024,2048)+c k-grouped
+config that overflowed on the relay fails here with the same
+RESOURCE_EXHAUSTED vmem message, and the shipping configs compile).
+
+Strictly stronger than scripts/lowering_check.py (which stops at the
+Pallas->Mosaic lowering). Use THIS before any on-chip sweep: a candidate that
+fails here would have wedged the relay.
+
+Usage: python scripts/aot_check.py            # all headline specs
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ['DGT_FORCE_MOSAIC'] = '1'
+
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import topologies
+from jax import ShapeDtypeStruct
+
+TOPO = topologies.get_topology_desc(platform='tpu',
+                                    topology_name='v5e:2x2x1')
+SHARD = jax.sharding.SingleDeviceSharding(TOPO.devices[0])
+f8 = jnp.float8_e4m3fn
+ok = fail = 0
+
+
+def S(shape, dt):
+    return ShapeDtypeStruct(shape, dt, sharding=SHARD)
+
+
+def check(name, f, *args):
+    global ok, fail
+    try:
+        compiled = jax.jit(f).lower(*args).compile()
+        try:
+            ma = compiled.memory_analysis()
+            extra = f'  (argbytes {ma.argument_size_in_bytes >> 20}M, ' \
+                    f'tmp {ma.temp_size_in_bytes >> 20}M)'
+        except Exception:
+            extra = ''
+        print(f'PASS  {name}{extra}', flush=True)
+        ok += 1
+    except Exception as e:
+        msg = str(e).replace('\n', ' ')[:180]
+        print(f'FAIL  {name}: {type(e).__name__}: {msg}', flush=True)
+        fail += 1
+
+
+def main():
+    import deepgemm_tpu as dg
+    from deepgemm_tpu.kernels.k_grouped import k_grouped_gemm
+    from deepgemm_tpu.kernels.fused_moe import _mega_local_call
+
+    # dense fp8 — deep-k (gk==1) + headline square
+    m, n, k = 8192, 4096, 7168
+    check('dense fp8 deep-k (gk==1 direct write)',
+          lambda a, sa, b, sb: dg.fp8_gemm_nt((a, sa), (b, sb)),
+          S((m, k), f8), S((m, k // 128), jnp.float32),
+          S((n, k), f8), S((n // 128, k // 128), jnp.float32))
+    check('dense fp8 4096^3',
+          lambda a, sa, b, sb: dg.fp8_gemm_nt((a, sa), (b, sb)),
+          S((4096, 4096), f8), S((4096, 32), jnp.float32),
+          S((4096, 4096), f8), S((32, 32), jnp.float32))
+
+    # grouped contiguous — static (bench) + dynamic (align-128 uneven)
+    G, mpg, n, k = 8, 1024, 4096, 7168
+    m = G * mpg
+    ids = jnp.asarray(np.repeat(np.arange(G, dtype=np.int32), mpg))
+    check('grouped contiguous STATIC (bench shape)',
+          lambda a, sa, bv, sb: dg.m_grouped_fp8_gemm_nt_contiguous(
+              (a, sa), (bv, sb), grouped_layout=ids, use_psum_layout=False),
+          S((m, k), f8), S((m, k // 128), jnp.float32),
+          S((G, n, k), f8), S((G, n // 128, k // 128), jnp.float32))
+    mpg_list = [896, 1152] * 4
+    m128 = sum(mpg_list)
+    ids128 = jnp.asarray(np.repeat(np.arange(8, dtype=np.int32), mpg_list))
+    check('grouped contiguous DYNAMIC (align-128 uneven)',
+          lambda a, sa, bv, sb: dg.m_grouped_fp8_gemm_nt_contiguous(
+              (a, sa), (bv, sb), grouped_layout=ids128,
+              use_psum_layout=False),
+          S((m128, k), f8), S((m128, k // 128), jnp.float32),
+          S((G, n, k), f8), S((G, n // 128, k // 128), jnp.float32))
+
+    # masked (bench shape)
+    check('masked grouped (SMEM mref, gk==1)',
+          lambda a, sa, bv, sb, mm: dg.m_grouped_fp8_gemm_nt_masked(
+              (a, sa), (bv, sb), masked_m=mm, expected_m=256),
+          S((G, 256, k), f8), S((G, 256, k // 128), jnp.float32),
+          S((G, n, k), f8), S((G, n // 128, k // 128), jnp.float32),
+          S((G,), jnp.int32))
+
+    # k-grouped wgrad — static + prefetch A/B legs (bench shape)
+    Gk, mk_, nk_, kpg = 4, 4096, 7168, 2048
+    tk = Gk * kpg
+    ks_list = [kpg] * Gk
+
+    def kg(a, b, sa, sb):
+        return k_grouped_gemm(a, b, None, jnp.asarray(ks_list, jnp.int32),
+                              use_psum_layout=False, sfa_t=sa, sfb_t=sb,
+                              ks_cpu=ks_list, k_major=True)
+
+    kg_args = (S((tk, mk_), f8), S((tk, nk_), f8),
+               S((tk // 128, mk_), jnp.float32),
+               S((tk // 128, nk_), jnp.float32))
+    check('k-grouped wgrad STATIC (c=None)', kg, *kg_args)
+    os.environ['DGT_KG_FORCE_PREFETCH'] = '1'
+    check('k-grouped wgrad PREFETCH (A/B leg)', kg, *kg_args)
+    os.environ.pop('DGT_KG_FORCE_PREFETCH')
+
+    # paged decode, both strategies (bench: B64, ctx 4096)
+    B, bkv, bps, h, d = 64, 256, 16, 64, 128
+    mml = bkv * bps
+    nb = B * bps
+    for strat in ('gather', 'zerocopy'):
+        check(f'paged decode {strat.upper()}',
+              lambda q, kv, sf, w, ctx, bt, _s=strat:
+                  dg.fp8_fp4_paged_mqa_logits(
+                      (q, None), (kv, sf), w, ctx, bt, max_context_len=mml,
+                      strategy=_s),
+              S((B, 1, h, d), f8), S((nb, bkv, d), f8),
+              S((nb, bkv), jnp.float32), S((B, h), jnp.float32),
+              S((B,), jnp.int32), S((B, bps), jnp.int32))
+
+    # MQA prefill (unchanged kernel — compile canary)
+    sq, skv, hh, dh = 2048, 8192, 64, 128
+    check('mqa logits prefill',
+          lambda q, kv, sf, w, ks, ke: dg.fp8_mqa_logits(
+              (q, None), (kv, sf), w, ks, ke),
+          S((sq, hh, dh), f8), S((skv, dh), f8), S((skv,), jnp.float32),
+          S((sq, hh), jnp.float32), S((sq,), jnp.int32), S((sq,), jnp.int32))
+
+    # fused mega D=1 local kernel at serving dims
+    H, I, cap, E = 7168, 2048, 128, 8
+    bn1, bh2, gran = 256, 512, 128
+    nt1, nt2 = I // bn1, H // bh2
+    ksf1, ksf2 = H // gran, I // gran
+    ksf_pad = ((ksf1 + 127) // 128) * 128
+    check('fused mega D=1 local (serving dims, fp8)',
+          lambda x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t: _mega_local_call(
+              x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, cap=cap, hidden=H,
+              inter=I, e_local=E, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
+              gran_k=gran, clamp=256.0, scaled=True, interpret=False),
+          S((E, cap, H), f8), S((E, cap, ksf_pad), jnp.float32),
+          S((E, cap, 1), jnp.float32), S((E, nt1, 2 * bn1, H), f8),
+          S((E, nt1, ksf1, 2 * bn1), jnp.float32),
+          S((E, H, I), f8), S((E, ksf2, H), jnp.float32))
+
+    # HC prenorm, both branches
+    check('hc_prenorm gk==1 direct write',
+          lambda a, b: dg.tf32_hc_prenorm_gemm(a, b),
+          S((128, 384), jnp.bfloat16), S((192, 384), jnp.float32))
+    check('hc_prenorm gk>1 scratch branch',
+          lambda a, b: dg.tf32_hc_prenorm_gemm(a, b),
+          S((128, 2048), jnp.bfloat16), S((192, 2048), jnp.float32))
+
+    print(f'\n{ok} pass / {fail} fail')
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == '__main__':
+    main()

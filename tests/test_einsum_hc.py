@@ -105,3 +105,16 @@ def test_fp8_gemm_nt_skip_head_mid():
     d3 = np.asarray(d, np.float32).reshape(m, num_heads, left + mid + right)
     assert not d3[:, :, left:left + mid].any()
     assert calc_diff(d, expected) < 1e-3
+
+
+def test_tf32_hc_prenorm_gemm_deep_k_multi_step():
+    """k > block_k (gk > 1) exercises the accumulator-scratch branch of the
+    HC prenorm kernel (the shallow-k tests now take the gk==1 direct-write
+    branch)."""
+    m, n, k = 128, 192, 1024   # bk = min(512, k) -> gk = 2
+    a = rand_bf16(m, k)
+    b = jnp.asarray(np.random.randn(n, k).astype(np.float32))
+    d, s = dg.tf32_hc_prenorm_gemm(a, b)
+    af = np.asarray(a, np.float32)
+    assert calc_diff(d, af @ np.asarray(b, np.float32).T) < 1e-5
+    assert calc_diff(s[:, 0] if s.ndim == 2 else s, (af * af).sum(1)) < 1e-5
