@@ -160,8 +160,27 @@ def main():
           lambda a, b: dg.tf32_hc_prenorm_gemm(a, b),
           S((128, 2048), jnp.bfloat16), S((192, 2048), jnp.float32))
 
+    if '--wide' in sys.argv:
+        wide(dg)
+
     print(f'\n{ok} pass / {fail} fail')
     sys.exit(1 if fail else 0)
+
+
+def wide(dg):
+    """--wide: AOT-compile the config-search pick for every production-shape
+    family the reference sweeps (DeepSeek-V3-like n,k pairs,
+    /root/reference/tests/generators.py:115-259) — an exhaustive audit that
+    no user shape hits a VMEM overflow at the heuristics' chosen tiles."""
+    for m in (128, 4096, 8192):
+        for (n, k) in ((7168, 2048), (2048, 7168), (4096, 7168),
+                       (16384, 7168), (7168, 16384), (24576, 1536),
+                       (1536, 24576)):
+            check(f'wide dense fp8 {m}x{n}x{k}',
+                  lambda a, sa, b, sb: dg.fp8_gemm_nt((a, sa), (b, sb)),
+                  S((m, k), f8), S((m, (k + 127) // 128), jnp.float32),
+                  S((n, k), f8), S(((n + 127) // 128, (k + 127) // 128),
+                                   jnp.float32))
 
 
 if __name__ == '__main__':
