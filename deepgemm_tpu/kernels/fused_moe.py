@@ -610,6 +610,19 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
     budget is higher and wider L2 tiles pay (serving dims measured on v5e:
     (256, 512) = 150.3 TFLOPS vs (256, 256) = 143.0).
     """
+    # Profiling escape hatch (the DGT_KG_TILES analog): pin (bn1, bh2) and
+    # skip the VMEM-aware shrink — for candidates the conservative estimate
+    # rejects but the real compiler accepts (pre-validate chipless with
+    # scripts/aot_check.py first; e.g. (256, 1024) at serving dims compiles
+    # while the estimate shrinks it back to 512).
+    import os as _os
+    _ovr = _os.environ.get('DGT_MEGA_TILES')
+    if _ovr:
+        bn1, bh2 = (int(v) for v in _ovr.split(','))
+        assert inter % bn1 == 0 and hidden % bh2 == 0, (bn1, bh2)
+        if scaled:
+            assert bn1 % gran_k == 0, (bn1, gran_k)
+        return bn1, bh2
     if block_n <= 0:
         block_n = 256
     if block_h <= 0:
