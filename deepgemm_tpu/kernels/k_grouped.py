@@ -123,12 +123,19 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                             lambda i, j, s, *pf: (_gid(s, pf), i, j),
                             memory_space=pltpu.VMEM)
 
+    # spg == 1 (one full-depth k tile per group — the tile picker's favorite
+    # for equal slabs): every step is first AND last, so the acc scratch
+    # roundtrip is skipped entirely (bitwise-identical: acc = c/0 + part).
+    direct = spg == 1
+
     def kernel(*all_refs):
         pf_refs, refs = all_refs[:n_pf], all_refs[n_pf:]
         a_ref, b_ref = refs[0], refs[1]
         c_ref = refs[2] if spec.has_c else None
-        d_ref = refs[-2]
-        acc_ref = refs[-1]
+        if direct:
+            d_ref, acc_ref = refs[-1], None
+        else:
+            d_ref, acc_ref = refs[-2], refs[-1]
         s = pl.program_id(2)
         if spg:
             sloc = jax.lax.rem(s, spg)
@@ -139,17 +146,18 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
             is_first = first_ref[s] == 1
             is_last = last_ref[s] == 1
 
-        @pl.when(is_first)
-        def _():
-            if spec.has_c:
-                acc_ref[:] = c_ref[0].astype(jnp.float32)
-            else:
-                acc_ref[:] = jnp.zeros_like(acc_ref)
+        if not direct:
+            @pl.when(is_first)
+            def _():
+                if spec.has_c:
+                    acc_ref[:] = c_ref[0].astype(jnp.float32)
+                else:
+                    acc_ref[:] = jnp.zeros_like(acc_ref)
 
         a_blk = a_ref[:]
         b_blk = b_ref[:]
         if not spec.is_scaled:
-            acc_ref[:] += dot_mn(a_blk, b_blk, kmaj, kmaj)
+            part = dot_mn(a_blk, b_blk, kmaj, kmaj)
         else:
             sf0 = 3 if spec.has_c else 2
             sfa_ref2, sfb_ref2 = refs[sf0], refs[sf0 + 1]  # (nsf, bm/bn)
@@ -171,18 +179,27 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
                 sfb_row = sfb_ref2[pl.ds(row, 1), :]          # (1, bn), exact
                 term = (p * sfb_row) * sfa_row.reshape(bm, 1)
                 total = term if total is None else total + term
-            acc_ref[:] += total
+            part = total
 
-        @pl.when(is_last)
-        def _():
-            d_ref[0] = acc_ref[:]
+        if direct:
+            res = part
+            if spec.has_c:
+                res = c_ref[0].astype(jnp.float32) + res
+            d_ref[0] = res
+        else:
+            acc_ref[:] += part
+
+            @pl.when(is_last)
+            def _():
+                d_ref[0] = acc_ref[:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_pf,
         grid=(gm, gn, nt),
         in_specs=in_specs,
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=([] if direct else
+                        [pltpu.VMEM((bm, bn), jnp.float32)]),
     )
     call = pl.pallas_call(
         kernel,

@@ -182,6 +182,39 @@ def wide(dg):
                   S((n, k), f8), S(((n + 127) // 128, (k + 127) // 128),
                                    jnp.float32))
 
+    # grouped contiguous + masked at EP-split group counts
+    for G, mpg, (n, k) in ((4, 1024, (7168, 2048)), (8, 512, (2048, 7168)),
+                           (16, 256, (4096, 7168))):
+        m = G * mpg
+        ids = jnp.asarray(np.repeat(np.arange(G, dtype=np.int32), mpg))
+        nsf, ksf = (n + 127) // 128, (k + 127) // 128
+        check(f'wide grouped G{G} {m}x{n}x{k}',
+              lambda a, sa, bv, sb, _ids=ids: dg.m_grouped_fp8_gemm_nt_contiguous(
+                  (a, sa), (bv, sb), grouped_layout=_ids,
+                  use_psum_layout=False),
+              S((m, k), f8), S((m, ksf), jnp.float32),
+              S((G, n, k), f8), S((G, nsf, ksf), jnp.float32))
+        check(f'wide masked G{G} 256x{n}x{k}',
+              lambda a, sa, bv, sb, mm: dg.m_grouped_fp8_gemm_nt_masked(
+                  (a, sa), (bv, sb), masked_m=mm, expected_m=128),
+              S((G, 256, k), f8), S((G, 256, ksf), jnp.float32),
+              S((G, n, k), f8), S((G, nsf, ksf), jnp.float32),
+              S((G,), jnp.int32))
+
+    # k-grouped wgrad at EP-split k slabs
+    from deepgemm_tpu.kernels.k_grouped import k_grouped_gemm
+    for G, kpg, (m, n) in ((4, 2048, (4096, 7168)), (8, 1024, (7168, 2048)),
+                           (16, 512, (2048, 4096))):
+        tk = G * kpg
+        ks_list = [kpg] * G
+        check(f'wide wgrad G{G} {m}x{n} tk{tk}',
+              lambda a, b, sa, sb, _ks=ks_list: k_grouped_gemm(
+                  a, b, None, jnp.asarray(_ks, jnp.int32),
+                  use_psum_layout=False, sfa_t=sa, sfb_t=sb,
+                  ks_cpu=_ks, k_major=True),
+              S((tk, m), f8), S((tk, n), f8),
+              S((tk // 128, m), jnp.float32), S((tk // 128, n), jnp.float32))
+
 
 if __name__ == '__main__':
     main()
