@@ -329,7 +329,12 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
     ctx_2d = context_lens.ndim == 2
 
     tile_kv = min(tile_kv, max(128, max_model_len))
-    linear = strategy == 'gather'
+    # The zero-copy kernel DMAs pages straight out of the HBM cache ref, so
+    # each page slice must honor Mosaic's lane tiling: head_dim % 128. At
+    # d=64 the interpreter accepts the slice but hardware rejects it
+    # ("Slice shape along dimension 2 must be aligned to tiling (128)") —
+    # fall back to the bitwise-identical gather strategy for narrow heads.
+    linear = strategy == 'gather' or d % 128 != 0
     spec = PagedMQASpec(
         batch_size=b_sz, next_n=nn, num_heads=h, head_dim=d,
         num_kv_blocks=num_blocks, block_kv=bkv, max_blocks_per_seq=mb,

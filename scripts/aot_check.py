@@ -88,6 +88,27 @@ def main():
           S((m128, k), f8), S((m128, k // 128), jnp.float32),
           S((G, n, k), f8), S((G, n // 128, k // 128), jnp.float32))
 
+    # bf16 grouped contiguous through the Pallas kernel (the ragged_dot-vs-
+    # Pallas routing A/B, scripts/r3_onchip_ab.py leg 3b)
+    from deepgemm_tpu.kernels.grouped import m_grouped_gemm_contiguous
+    check('grouped contiguous BF16 Pallas (bench shape)',
+          lambda a, bv: m_grouped_gemm_contiguous(
+              a, bv, ids, use_psum_layout=False, out_dtype=jnp.bfloat16),
+          S((m, k), jnp.bfloat16), S((G, n, k), jnp.bfloat16))
+
+    # dense fp8 4096^3 pinned (512,512,4096) — the single-k-step frontier
+    # candidate (less A-restream traffic than the (256,1024) heuristic pick)
+    from deepgemm_tpu.kernels.dense import dense_gemm
+    from deepgemm_tpu.heuristics.configs import GemmConfig
+    cfg512 = GemmConfig(block_m=512, block_n=512, block_k=4096,
+                        scale_strategy='promote')
+    check('dense fp8 4096^3 pinned (512,512,4096)',
+          lambda a, b, sa, sb: dense_gemm(a, b, sfa=sa, sfb_t=sb,
+                                          scale_strategy='promote',
+                                          cfg=cfg512),
+          S((4096, 4096), f8), S((4096, 4096), f8),
+          S((4096, 32), jnp.float32), S((32, 4096), jnp.float32))
+
     # masked (bench shape)
     check('masked grouped (SMEM mref, gk==1)',
           lambda a, sa, bv, sb, mm: dg.m_grouped_fp8_gemm_nt_masked(

@@ -128,7 +128,10 @@ def main():
     check('fp8_mqa_logits', calc_diff(
         np.where(mask, np.asarray(lg), 0), np.where(mask, refl, 0)), 1e-4)
 
-    B, bkv, bps = 3, 64, 3
+    # dh=128 here: the zero-copy strategy requires 128-lane-aligned pages
+    # (narrower heads auto-fall back to gather — then the bitwise check below
+    # would not drive the zero-copy kernel at all)
+    B, bkv, bps, dh = 3, 64, 3, 128
     mml = bkv * bps
     nb = B * bps
     kvv = jnp.clip(jnp.asarray(rng.randn(nb, bkv, dh), jnp.float32),
