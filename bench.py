@@ -168,6 +168,19 @@ def main():
         'fp8_grouped_contiguous_G8', value=round(2 * m * n * k / t_g / 1e12, 1),
         unit='TFLOPS', vs_baseline=round(t_rd / t_g, 3))
 
+    # BF16 grouped through the same Pallas kernel (default routing since the
+    # r3 A/B: 160.8 vs ragged_dot 144.9); baseline = the ragged_dot loop
+    # above, which is exactly what DGT_BF16_GROUPED=ragged would run.
+    loop_gbf = _loop(lambda i, a_, b_:
+                     m_grouped_gemm_contiguous(
+                         jnp.roll(a_, i, 0), b_, ids, use_psum_layout=False,
+                         out_dtype=jnp.bfloat16)[0, 0].astype(jnp.float32))
+    t_gbf = _device_time_of(loop_gbf, (a, bg), 'grouped_bf16')
+    ops['bf16_grouped_contiguous_G8'] = _emit(
+        'bf16_grouped_contiguous_G8',
+        value=round(2 * m * n * k / t_gbf / 1e12, 1),
+        unit='TFLOPS', vs_baseline=round(t_rd / t_gbf, 3))
+
     # alignment-128 layout: group starts with gcd 128, so the adaptive
     # block_m lift CANNOT raise bm past 128 — the ~4-TFLOP scalar-prefetch
     # gap case (CLAUDE.md open item). Driver-visible so regressions here are

@@ -29,6 +29,9 @@ runtime/native.py; this module documents them and provides the same
 | ``DGT_KG_FORCE_PREFETCH`` | k-grouped: pin the dynamic scalar-prefetch  | (A/B profiling of the |
 |                           | kernel even for equal host-concrete groups  | static-layout paths) |
 | ``DGT_GROUPED_FORCE_PREFETCH`` | same for the contiguous grouped kernel | |
+| ``DGT_BF16_GROUPED``      | 'ragged' pins bf16 contiguous grouped to    | (XLA-delegation |
+|                           | XLA ragged_dot (default: Pallas, 160.8 vs   | escape hatch) |
+|                           | 144.9 TFLOPS at the G8 bench shape)         | |
 | ``DGT_FORCE_MOSAIC``      | build real Mosaic lowering on a CPU host    | (scripts/lowering_check.py |
 |                           | (for jax.export cross-lowering checks)      | chip-free compile checks) |
 """
@@ -52,5 +55,5 @@ def describe() -> dict:
              'DGT_SCALE_STRATEGY', 'DGT_TEST_PLATFORM',
              'DGT_DUMP_DIR', 'DGT_DUMP_HLO', 'DGT_KG_TILES',
              'DGT_KG_FORCE_PREFETCH', 'DGT_GROUPED_FORCE_PREFETCH',
-             'DGT_FORCE_MOSAIC']
+             'DGT_BF16_GROUPED', 'DGT_MEGA_TILES', 'DGT_FORCE_MOSAIC']
     return {n: os.environ.get(n) for n in names}

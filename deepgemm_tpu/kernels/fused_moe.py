@@ -608,7 +608,12 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
 
     ``local=True`` is the D=1 kernel: no recv pool / staging scratch, so the
     budget is higher and wider L2 tiles pay (serving dims measured on v5e:
-    (256, 512) = 150.3 TFLOPS vs (256, 256) = 143.0).
+    (256, 1024) = 154.6 TFLOPS > (256, 512) = 150.0 > (256, 256) = 143.0).
+
+    Candidates prefer powers of two: compile evidence at serving dims is
+    that Mosaic's allocator handles po2 widths but fragments on non-po2 —
+    (256, 512) and (256, 1024) both compile while (256, 896) RESOURCE-
+    EXHAUSTS (16.13M > 16M) despite a *smaller* raw-byte estimate than 1024.
     """
     # Profiling escape hatch (the DGT_KG_TILES analog): pin (bn1, bh2) and
     # skip the VMEM-aware shrink — for candidates the conservative estimate
@@ -626,9 +631,9 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
     if block_n <= 0:
         block_n = 256
     if block_h <= 0:
-        block_h = 512 if local else 256
+        block_h = 1024 if local else 256
     if budget <= 0:
-        budget = (12 * 1024 * 1024 + 512 * 1024 if local
+        budget = (15 * 1024 * 1024 if local
                   else 10 * 1024 * 1024 + 512 * 1024)
     bn1 = block_n if inter % block_n == 0 else inter
     bh2 = block_h if hidden % block_h == 0 else hidden
@@ -651,8 +656,14 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
         return e
 
     def _shrink_div(cur, total, quantum):
-        # largest value < cur that divides `total` and is a multiple of
-        # `quantum`
+        # Largest value < cur that divides `total` and is a multiple of
+        # `quantum`, preferring powers of two (Mosaic allocator evidence
+        # above: po2 widths fit where larger-estimate non-po2 ones overflow).
+        p2 = 1 << (cur - 1).bit_length() - 1          # largest po2 < cur
+        while p2 >= quantum:
+            if p2 % quantum == 0 and total % p2 == 0:
+                return p2
+            p2 //= 2
         for cand in range(cur - quantum, quantum - 1, -quantum):
             if total % cand == 0:
                 return cand

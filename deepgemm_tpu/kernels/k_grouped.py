@@ -21,6 +21,7 @@ sublane slices (exact f32).
 import dataclasses
 import math
 import os
+import types
 from typing import Optional, Tuple
 
 import numpy as np
@@ -32,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend, runtime
 from ..utils.math import align, ceil_div
-from .common import dot_mn, k_slice
+from .common import dot_mn, k_slice, promote_block
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +75,16 @@ class KGroupedGemmSpec:
     # overlaps at 176 TFLOPS).
     static_spg: Optional[int] = None    # k-tiles (grid steps) per group
     static_nsfg: Optional[int] = None   # SF rows per group
+    # Stepped-SF refinement of the static path (requires kpg == padded_kpg,
+    # kpg % gran == 0, bk % gran == 0): scales arrive as per-k-step BlockSpec
+    # slices with the step as a LEADING dim — sfa [nt, m, nsub] m-major, sfb
+    # [nt, nsub, n] — and the kernel uses the dense promote_block (STATIC
+    # lane/sublane slices, no per-sub-step dynamic row selects or (1,bm) ->
+    # (bm,1) transposes). Measured on v5e at the wgrad bench shape: the
+    # dynamic-row epilogue serializes the VPU scaling under the MXU
+    # (108 TFLOPS ~= MXU + VPU summed); static slices are what let the dense
+    # kernel overlap at 176.
+    static_sf_stepped: bool = False
 
 
 def _build_k_grouped(spec: KGroupedGemmSpec):
@@ -111,7 +122,19 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
             pl.BlockSpec((1, bm, bn),
                          lambda i, j, s, *pf: (_gid(s, pf), i, j),
                          memory_space=pltpu.VMEM))
-    if spec.is_scaled:
+    stepped = spec.static_sf_stepped
+    nsub = bk // gran if stepped else 0
+    if spec.is_scaled and stepped:
+        # Dense-style stepped SFs (see the spec field's docstring): the grid
+        # k-step is the leading array dim, so every in-kernel SF access is a
+        # STATIC slice and Mosaic pipelines the scaling under the MXU.
+        in_specs.append(pl.BlockSpec((1, bm, nsub),
+                                     lambda i, j, s, *pf: (s, i, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, nsub, bn),
+                                     lambda i, j, s, *pf: (s, 0, j),
+                                     memory_space=pltpu.VMEM))
+    elif spec.is_scaled:
         # SFs are k-first ([nsf, m] / [nsf, n]) so the kernel can pick the
         # runtime-computed SF row with a dynamic *sublane* slice (Mosaic
         # forbids dynamic lane-dim slicing; sublane is fine).
@@ -158,6 +181,16 @@ def _build_k_grouped(spec: KGroupedGemmSpec):
         b_blk = b_ref[:]
         if not spec.is_scaled:
             part = dot_mn(a_blk, b_blk, kmaj, kmaj)
+        elif stepped:
+            # Shared dense epilogue: identical multiply order to the dynamic
+            # branch below ((p * sfb_row) * sfa_col), so the two are bitwise-
+            # equal — regression-tested by test_k_grouped_static_equals_
+            # prefetch.
+            sf0 = 3 if spec.has_c else 2
+            pspec = types.SimpleNamespace(gran_k_a=gran, gran_k_b=gran,
+                                          a_kmajor=kmaj, b_kmajor=kmaj)
+            part = promote_block(pspec, bk, bk, a_blk, b_blk,
+                                 refs[sf0][0], refs[sf0 + 1][0])
         else:
             sf0 = 3 if spec.has_c else 2
             sfa_ref2, sfb_ref2 = refs[sf0], refs[sf0 + 1]  # (nsf, bm/bn)
@@ -359,6 +392,7 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     # without scalar-prefetch operands. DGT_KG_FORCE_PREFETCH=1 pins the
     # dynamic path for A/B measurement.
     static_spg = static_nsfg = None
+    sf_stepped = False
     if (layout_np is not None
             and not os.environ.get('DGT_KG_FORCE_PREFETCH')):
         sizes = np.asarray(layout_np, np.int64)
@@ -368,13 +402,22 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
             if padded_kpg * num_groups == total_k and padded_kpg % bk == 0:
                 static_spg = padded_kpg // bk
                 static_nsfg = ceil_div(int(sizes[0]), gran_k)
+                # Stepped SFs need group-compact rows to line up exactly
+                # with a [nt, nsub] reshape: no alignment padding inside a
+                # group and gran-aligned tile/group depths.
+                sf_stepped = (is_scaled
+                              and int(sizes[0]) == padded_kpg
+                              and padded_kpg % gran_k == 0
+                              and bk % gran_k == 0
+                              and nsf_total * gran_k == total_k)
 
     spec = KGroupedGemmSpec(
         num_groups=num_groups, m=m, n=n, total_k=total_k,
         a_dtype=str(a.dtype), b_dtype=str(b.dtype), is_scaled=is_scaled,
         gran_k=gran_k, nsf_total=nsf_total,
         block_m=bm, block_n=bn, block_k=bk, k_major=k_major, has_c=has_c,
-        static_spg=static_spg, static_nsfg=static_nsfg)
+        static_spg=static_spg, static_nsfg=static_nsfg,
+        static_sf_stepped=sf_stepped)
     fn = kernel_cache().get_or_build(spec, lambda: _build_k_grouped(spec))
     if k_major:
         a = jnp.swapaxes(a, 0, 1)          # [m, total_k]
@@ -391,6 +434,11 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
     if has_c:
         args.append(c)
     if is_scaled:
+        if sf_stepped:
+            nt = total_k // bk
+            nsub = bk // gran_k
+            sfa_t = sfa_t.reshape(nt, nsub, m).swapaxes(1, 2)  # [nt, m, nsub]
+            sfb_t = sfb_t.reshape(nt, nsub, n)                 # [nt, nsub, n]
         args += [sfa_t, sfb_t]
     d = fn(*args)
     # Empty groups own no k-tiles, so their d block is never written: splice

@@ -14,6 +14,7 @@ Masked contract: ``a``/``d`` are [G, max_m, .]; only rows < masked_m[g] are
 meaningful; ``masked_m`` is never read on host (graph-safe decode).
 """
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -30,10 +31,13 @@ def _ragged_contiguous_bf16(a, b_kn, grouped_layout, num_groups: int,
                             use_psum_layout: bool, ensure_zero_padding: bool,
                             out_dtype):
     """BF16 contiguous grouped GEMM on XLA's native ``jax.lax.ragged_dot``
-    (the megablox-gmm emitter): measured 143 vs 90 TFLOPS for the
-    alignment-pinned Pallas tiling at G=8, 8192x4096x7168 on v5e. The Pallas
-    kernel remains the path for FP8 (ragged_dot has no block-scaled form;
-    the Pallas FP8 kernel reaches 155 TFLOPS on the same shape)."""
+    (the megablox-gmm emitter) — the ``DGT_BF16_GROUPED=ragged`` fallback.
+
+    History: this was the default while the Pallas tiling was pinned to the
+    128-row alignment (ragged_dot 143 vs 90 TFLOPS at G=8, 8192x4096x7168 on
+    v5e). With the adaptive gcd block_m lift + the prefetch-free static path
+    the unscaled Pallas kernel now measures 160.8 vs ragged_dot's 144.9 on
+    the same shape, so the kernel is the default for BF16 too."""
     m = a.shape[0]
     rows = jnp.arange(m, dtype=jnp.int32)
     if use_psum_layout:
@@ -96,10 +100,21 @@ def _m_grouped_contiguous_impl(a, b, d, grouped_layout, *, b_kmajor: bool,
     out_dtype = _out_dtype_of(d)
 
     if sfa is None:
-        b_kn = jnp.swapaxes(b_val, 1, 2) if b_kmajor else b_val
-        return _ragged_contiguous_bf16(
-            a_val, b_kn, grouped_layout, num_groups, use_psum_layout,
-            ensure_zero_padding, out_dtype)
+        # BF16: the same Pallas kernel, unscaled — measured 160.8 TFLOPS vs
+        # ragged_dot's 144.9 at G8 8192x4096x7168 on v5e (scripts/
+        # r3_onchip_ab.py leg 3b; bitwise contract identical on the
+        # reference fixtures, whose alignment-padding rows are zeroed).
+        # DGT_BF16_GROUPED=ragged pins the XLA delegation for A/B or as an
+        # escape hatch.
+        if os.environ.get('DGT_BF16_GROUPED', 'pallas') == 'ragged':
+            b_kn = jnp.swapaxes(b_val, 1, 2) if b_kmajor else b_val
+            return _ragged_contiguous_bf16(
+                a_val, b_kn, grouped_layout, num_groups, use_psum_layout,
+                ensure_zero_padding, out_dtype)
+        return m_grouped_gemm_contiguous(
+            a_val, b_val, grouped_layout, use_psum_layout=use_psum_layout,
+            b_kmajor=b_kmajor, out_dtype=out_dtype,
+            ensure_zero_padding=ensure_zero_padding)
 
     recipe_a, recipe_b = resolve_recipes(recipe, recipe_a, recipe_b)
     if sfa.dtype == jnp.int32:

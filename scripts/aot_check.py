@@ -157,9 +157,13 @@ def main():
           S((sq, hh, dh), f8), S((skv, dh), f8), S((skv,), jnp.float32),
           S((sq, hh), jnp.float32), S((sq,), jnp.int32), S((sq,), jnp.int32))
 
-    # fused mega D=1 local kernel at serving dims
+    # fused mega D=1 local kernel at serving dims — at the DEFAULT tile pick
+    # (so a pick_mega_tiles change re-audits compileability automatically)
+    from deepgemm_tpu.kernels.fused_moe import pick_mega_tiles
     H, I, cap, E = 7168, 2048, 128, 8
-    bn1, bh2, gran = 256, 512, 128
+    gran = 128
+    bn1, bh2 = pick_mega_tiles(H, I, cap, xb=1, wb=1, scaled=True, local=True)
+    print(f'      (mega default pick: bn1={bn1} bh2={bh2})', flush=True)
     nt1, nt2 = I // bn1, H // bh2
     ksf1, ksf2 = H // gran, I // gran
     ksf_pad = ((ksf1 + 127) // 128) * 128

@@ -76,6 +76,14 @@ def main():
         np.asarray(bgsf[0]), 128, 0), 128, 1)[:256, :512]
     check('m_grouped_fp8 contiguous', calc_diff(dgr[:128], g0 @ b0.T), 1e-3)
 
+    # bf16 grouped contiguous — routes through the unscaled Pallas kernel
+    # since r3 (160.8 vs ragged_dot 144.9 at the bench shape)
+    bgb = jnp.asarray(rng.randn(4, 256, 512) * 0.1, jnp.bfloat16)
+    dgb = dg.m_grouped_bf16_gemm_nt_contiguous(ag, bgb, grouped_layout=ids)
+    refb = np.asarray(ag, np.float32)[:128] @ np.asarray(bgb[0], np.float32).T
+    check('m_grouped_bf16 contiguous (pallas)', calc_diff(dgb[:128], refb),
+          1e-4)
+
     # k-grouped wgrad
     tk, mm, nn = 512, 256, 384
     ak = jnp.asarray(rng.randn(tk, mm) * 0.1, jnp.bfloat16)

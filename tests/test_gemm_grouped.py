@@ -164,3 +164,25 @@ def test_m_grouped_contiguous_static_equals_prefetch(monkeypatch, use_fp8):
     from deepgemm_tpu.runtime.cache import kernel_cache
     assert any(getattr(s, 'static_tpg', None) for s in kernel_cache().specs()), \
         'equal-group layout did not take the static path'
+
+
+@pytest.mark.parametrize('use_psum_layout', [False, True])
+def test_bf16_contiguous_pallas_matches_ragged(monkeypatch, use_psum_layout):
+    """BF16 contiguous routes through the (unscaled) Pallas kernel by default
+    (measured 160.8 vs ragged_dot's 144.9 TFLOPS at the G8 bench shape);
+    DGT_BF16_GROUPED=ragged pins the XLA delegation. Both must agree on the
+    reference fixture — including its alignment-padding rows, which the
+    generator zeroes in `a` so 0 @ B^T == 0 on either path."""
+    num_groups, expected_m, n, k = 3, 200, 256, 384
+    dg.set_mk_alignment_for_contiguous_layout(128)
+    m, a, b, layout, ref_d = generate_m_grouped_contiguous(
+        num_groups, expected_m, n, k, use_fp8=False,
+        use_psum_layout=use_psum_layout)
+    d_pal = dg.m_grouped_bf16_gemm_nt_contiguous(
+        a, b, grouped_layout=layout, use_psum_layout=use_psum_layout)
+    monkeypatch.setenv('DGT_BF16_GROUPED', 'ragged')
+    d_rag = dg.m_grouped_bf16_gemm_nt_contiguous(
+        a, b, grouped_layout=layout, use_psum_layout=use_psum_layout)
+    assert calc_diff(d_pal, ref_d) < 1e-5
+    assert calc_diff(d_rag, ref_d) < 1e-5
+    assert calc_diff(d_pal, np.asarray(d_rag, np.float32)) < 1e-6

@@ -158,11 +158,47 @@ def test_k_grouped_static_equals_prefetch(monkeypatch, ks, use_fp8):
     for g in range(num_groups):
         assert calc_diff(d_static[g], ref_d[g]) < tol
 
-    # the default path must actually have built the static spec
+    # the default path must actually have built the static spec — and for
+    # these gran-aligned slabs, the stepped-SF variant (dense-style BlockSpec
+    # scale delivery) when scaled
     from deepgemm_tpu.runtime.cache import kernel_cache
     specs = [s for s in kernel_cache().specs()
              if getattr(s, 'static_spg', None)]
     assert specs, 'equal-group layout did not take the static path'
+    if use_fp8:
+        assert any(getattr(s, 'static_sf_stepped', False) for s in specs), \
+            'gran-aligned equal groups did not take the stepped-SF path'
+
+
+def test_k_grouped_static_unstepped_sf(monkeypatch):
+    """Equal groups whose slab depth is NOT a multiple of the scale
+    granularity (192 with gran 128, alignment 64): the static index-map path
+    still applies but scales stay in the dynamic-sublane layout — bitwise vs
+    the prefetch kernel."""
+    import deepgemm_tpu as dg2
+    old = dg2.get_mk_alignment_for_contiguous_layout()
+    dg2.set_mk_alignment_for_contiguous_layout(64)
+    try:
+        ks = [192, 192, 192, 192]
+        num_groups, m, n = len(ks), 128, 256
+        k, a, b, c, ref_d, ks_arr = generate_k_grouped_contiguous(
+            num_groups, m, n, ks, use_fp8=True)
+        d_static = dg.k_grouped_fp8_gemm_tn_contiguous(
+            a, b, ks=ks, grouped_layout=ks_arr, c=c)
+        monkeypatch.setenv('DGT_KG_FORCE_PREFETCH', '1')
+        d_prefetch = dg.k_grouped_fp8_gemm_tn_contiguous(
+            a, b, ks=ks, grouped_layout=ks_arr, c=c)
+        np.testing.assert_array_equal(np.asarray(d_static),
+                                      np.asarray(d_prefetch))
+        for g in range(num_groups):
+            assert calc_diff(d_static[g], ref_d[g]) < 1e-3
+        from deepgemm_tpu.runtime.cache import kernel_cache
+        assert any(getattr(s, 'static_spg', None)
+                   and not getattr(s, 'static_sf_stepped', False)
+                   and s.is_scaled for s in kernel_cache().specs()), \
+            'expected a static-but-unstepped scaled spec'
+    finally:
+        dg2.set_mk_alignment_for_contiguous_layout(old)
 
 
 def test_k_grouped_psum_equal_static_equals_prefetch(monkeypatch):
