@@ -225,7 +225,9 @@ def main():
     loop_me = _loop(lambda i, a_, b_:
                     jnp.einsum('gmk,gnk->gmn', jnp.roll(a_, i, 1), b_,
                                preferred_element_type=jnp.float32
-                               ).astype(jnp.bfloat16)[0, 0, 0].astype(jnp.float32))
+                               # [0, 0, i]: DCE-proof dynamic consumption
+                               # (see the wgrad note below)
+                               ).astype(jnp.bfloat16)[0, 0, i].astype(jnp.float32))
     t_m = _device_time_of(loop_m, (amq, amsf, bmq, sfbm_t), 'masked')
     t_me = _device_time_of(loop_me, (am, bmg), 'masked_xla')
     flops_m = 2 * Gm * max_m * nm * km
@@ -245,20 +247,24 @@ def main():
     from deepgemm_tpu.kernels.k_grouped import k_grouped_gemm
     # c=None: the accumulator is known-zero, so the kernel skips streaming
     # G*m*n FP32 of zeros (the d==c-alias analog; frees VMEM for wider tiles)
+    # Consumption MUST be a dynamic index on the LAST dim, never
+    # ``reshape(-1)[i]``: a dynamic index through a 3D->1D reshape makes XLA
+    # physically relayout the 470MB f32 output EVERY iteration (+1.4ms/iter
+    # on BOTH legs — measured 108.5 "TFLOPS" vs the kernel's real 161.5),
+    # while a static [0,0,0] lets XLA DCE this einsum into a sliver.
+    # [0, 0, i] is DCE-proof and relayout-free.
     loop_k = _loop(lambda i, a_, b_, sa, sb:
                    k_grouped_gemm(jnp.roll(a_, i, 1), b_, None,
                                   jnp.asarray(ks_list, jnp.int32),
                                   use_psum_layout=False,
                                   sfa_t=jnp.roll(sa, i, 1), sfb_t=sb,
-                                  ks_cpu=ks_list).reshape(-1)[i])
+                                  ks_cpu=ks_list)[0, 0, i])
     loop_ke = _loop(lambda i, a_, b_:
                     jnp.einsum('gkm,gkn->gmn',
                                jnp.roll(a_, i, 1).reshape(Gk, kpg, mk_),
                                b_.reshape(Gk, kpg, nk_),
                                preferred_element_type=jnp.float32
-                               # dynamic consumption: a static [0,0,0] lets
-                               # XLA DCE the whole einsum into a sliver
-                               ).reshape(-1)[i])
+                               )[0, 0, i])
     t_k = _device_time_of(loop_k, (akq, bkq, aksf, bksf), 'wgrad')
     t_ke = _device_time_of(loop_ke, (ak, bk_), 'wgrad_xla')
     flops_k = 2 * mk_ * nk_ * tk

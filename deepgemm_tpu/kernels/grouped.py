@@ -56,6 +56,12 @@ class GroupedGemmSpec:
     # WITHOUT scalar-prefetch operands (prefetch-dependent index maps carry
     # measurable per-step overhead — the align-128 gap, CLAUDE.md).
     static_tpg: Optional[int] = None   # m-tiles per group
+    # Masked only: drop the per-m-tile early-exit predicate. Legal for ANY
+    # masked_m (rows >= masked_m[g] are "not meaningful" per the contract —
+    # the predicate only SKIPS work, never changes meaningful rows); chosen
+    # when the caller's expected_m hint says tiles are ~always active, where
+    # the predicate saves nothing but sits in Mosaic's pipeline.
+    no_early_exit: bool = False
 
 
 def _build_contiguous(spec: GroupedGemmSpec):
@@ -213,13 +219,7 @@ def _build_masked(spec: GroupedGemmSpec):
         i = pl.program_id(1)
         ki = pl.program_id(3)
 
-        # Early-exit for m-tiles entirely beyond this group's masked_m — the
-        # CUDA-graph-safe contract: masked_m is only ever read on device
-        # (/root/reference/csrc/apis/gemm.hpp "masked" + scheduler/gemm.cuh:200-216).
-        active = i * bm < mref[e]
-
-        @pl.when(active)
-        def _():
+        def body():
             a_blk = a_ref[0]
             b_blk = b_ref[0]
             if has_k_tail:
@@ -247,6 +247,17 @@ def _build_masked(spec: GroupedGemmSpec):
                 @pl.when(ki == gk - 1)
                 def _():
                     d_ref[0] = acc_ref[:].astype(out_dtype)
+
+        if spec.no_early_exit:
+            # Unpredicated body (see the spec field's docstring): rows past
+            # masked_m[e] are computed-and-ignored instead of skipped.
+            body()
+        else:
+            # Early-exit for m-tiles entirely beyond this group's masked_m —
+            # the CUDA-graph-safe contract: masked_m is only ever read on
+            # device (/root/reference/csrc/apis/gemm.hpp "masked" +
+            # scheduler/gemm.cuh:200-216).
+            pl.when(i * bm < mref[e])(body)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -422,11 +433,20 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
                               num_groups=num_groups, is_grouped_m=True,
                               mk_alignment=bm_hint,
                               scale_strategy='promote' if is_scaled else None)
+    # Callers asserting full expected occupancy get the unpredicated body:
+    # the early-exit can't save work there, and an always-true pl.when still
+    # costs Mosaic pipelining. Semantics are unchanged for ANY runtime
+    # masked_m (rows >= masked_m[g] are never meaningful).
+    # DGT_MASKED_FORCE_EXIT=1 pins the predicated kernel for A/B profiling.
+    import os as _os
+    no_exit = (expected_m is not None and expected_m >= max_m
+               and not _os.environ.get('DGT_MASKED_FORCE_EXIT'))
     spec = GroupedGemmSpec(
         kind='masked', num_groups=num_groups, m=max_m, n=n, k=k,
         b_kmajor=True, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
         out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
-        gran_k_a=gran_k_a, gran_k_b=gran_k_b, zero_padded_rows=False, cfg=cfg)
+        gran_k_a=gran_k_a, gran_k_b=gran_k_b, zero_padded_rows=False, cfg=cfg,
+        no_early_exit=no_exit)
     fn = kernel_cache().get_or_build(spec, lambda: _build_masked(spec))
 
     args = [masked_m.astype(jnp.int32), a, b]

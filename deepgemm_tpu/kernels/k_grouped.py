@@ -373,14 +373,30 @@ def k_grouped_gemm(a, b, c, grouped_layout, *, use_psum_layout: bool,
         g = int(total_k)
         for s in starts[1:]:
             g = math.gcd(g, int(s))
-        fixed = _fixed_est(bm, bn)
         per_k = (bm * a_bytes + bn * b_bytes) * 2
-        fit = max((budget0 - fixed) // per_k, k_alignment)
+        # Equal full groups: a candidate bk == group depth means spg == 1 —
+        # every group is one k-tile, d is written directly and the acc
+        # scratch DISAPPEARS, freeing bm*bn*4 bytes exactly when the deepest
+        # candidate needs them. Measured on the bench shape (G4 kpg=2048):
+        # (1024,512,2048) spg==1 = 174.0 TFLOPS vs (1024,512,1024) = 161.5.
+        # The credit only applies when the static kernel will actually be
+        # built: the prefetch kernel keeps the acc scratch at any bk (its
+        # per-tile group walk is dynamic), so a forced-prefetch A/B at the
+        # credited depth would VMEM-overflow (measured: 16.66M > 16M).
+        eq_kpg = (int(padded[0]) if (sizes.size and np.all(sizes == sizes[0])
+                                     and padded[0] * num_groups == total_k
+                                     and not os.environ.get(
+                                         'DGT_KG_FORCE_PREFETCH'))
+                  else None)
         best = k_alignment
         cand = k_alignment
-        while cand <= min(fit, g):
+        while cand <= g:
             if g % cand == 0:
-                best = cand
+                fixed_c = _fixed_est(bm, bn)
+                if eq_kpg is not None and cand == eq_kpg:
+                    fixed_c -= bm * bn * 4          # no acc scratch at spg==1
+                if cand * per_k <= budget0 - fixed_c:
+                    best = cand
             cand += k_alignment
         bk = best
     if bk_override:

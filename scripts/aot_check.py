@@ -109,13 +109,20 @@ def main():
           S((4096, 4096), f8), S((4096, 4096), f8),
           S((4096, 32), jnp.float32), S((32, 4096), jnp.float32))
 
-    # masked (bench shape)
-    check('masked grouped (SMEM mref, gk==1)',
-          lambda a, sa, bv, sb, mm: dg.m_grouped_fp8_gemm_nt_masked(
-              (a, sa), (bv, sb), masked_m=mm, expected_m=256),
-          S((G, 256, k), f8), S((G, 256, k // 128), jnp.float32),
-          S((G, n, k), f8), S((G, n // 128, k // 128), jnp.float32),
-          S((G,), jnp.int32))
+    # masked (bench shape) — expected_m == max_m builds the no-early-exit
+    # body by default; the FORCE_EXIT env leg audits the predicated A/B
+    masked_args = (S((G, 256, k), f8), S((G, 256, k // 128), jnp.float32),
+                   S((G, n, k), f8), S((G, n // 128, k // 128), jnp.float32),
+                   S((G,), jnp.int32))
+
+    def masked(a, sa, bv, sb, mm):
+        return dg.m_grouped_fp8_gemm_nt_masked(
+            (a, sa), (bv, sb), masked_m=mm, expected_m=256)
+
+    check('masked grouped (no-early-exit, gk==1)', masked, *masked_args)
+    os.environ['DGT_MASKED_FORCE_EXIT'] = '1'
+    check('masked grouped PREDICATED (A/B leg)', masked, *masked_args)
+    os.environ.pop('DGT_MASKED_FORCE_EXIT')
 
     # k-grouped wgrad — static + prefetch A/B legs (bench shape)
     Gk, mk_, nk_, kpg = 4, 4096, 7168, 2048

@@ -31,7 +31,18 @@ def main():
     ks_list = [kpg] * Gk
     flops_k = 2 * mk_ * nk_ * tk
 
-    # correctness spot check vs the prefetch kernel (bitwise)
+    # Correctness spot check vs the prefetch kernel. The two paths may pick
+    # DIFFERENT block_k (the spg==1 acc-scratch credit applies only to the
+    # static kernel), so f32 accumulation grouping differs — tolerance, not
+    # bitwise (bitwise equality at identical bk is covered by
+    # test_k_grouped_static_equals_prefetch). The diff is computed ON DEVICE
+    # (pull scalars only — a 470MB np.asarray through the axon relay takes
+    # minutes and a timeout kill mid-transfer wedges the relay).
+    @jax.jit
+    def _dev_diff(x, y):
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
+        return 1.0 - 2.0 * jnp.vdot(x, y) / (jnp.vdot(x, x) + jnp.vdot(y, y))
+
     d_static = k_grouped_gemm(akq, bkq, None, jnp.asarray(ks_list, jnp.int32),
                               use_psum_layout=False, sfa_t=aksf, sfb_t=bksf,
                               ks_cpu=ks_list)
@@ -40,8 +51,9 @@ def main():
                           use_psum_layout=False, sfa_t=aksf, sfb_t=bksf,
                           ks_cpu=ks_list)
     os.environ.pop('DGT_KG_FORCE_PREFETCH')
-    eq = np.array_equal(np.asarray(d_static), np.asarray(d_pf))
-    print(f'stepped == prefetch bitwise: {eq}', flush=True)
+    diff = float(_dev_diff(d_static, d_pf))
+    print(f'stepped vs prefetch calc_diff (on-device): {diff:.2e}', flush=True)
+    assert diff < 1e-6, diff
     del d_static, d_pf
 
     def loop(salt):

@@ -86,6 +86,34 @@ def test_m_grouped_masked(num_groups, max_m, expected_m, use_fp8):
         assert diff < tol, f'{g=}, {mg=}, {diff=}'
 
 
+@pytest.mark.parametrize('use_fp8', [False, True])
+def test_m_grouped_masked_no_early_exit(monkeypatch, use_fp8):
+    """expected_m >= max_m builds the unpredicated masked kernel (the
+    always-true early-exit still costs Mosaic pipelining); it must agree
+    bitwise with the predicated kernel on ALL meaningful rows even when the
+    runtime masked_m is far below max_m — the predicate only skips work."""
+    num_groups, max_m, n, k = 3, 128, 256, 384
+    a, b, masked_m, ref_d = generate_m_grouped_masked(
+        num_groups, max_m, 40, n, k, use_fp8=use_fp8)
+    fn = (dg.m_grouped_fp8_gemm_nt_masked if use_fp8
+          else dg.m_grouped_bf16_gemm_nt_masked)
+    d_noexit = fn(a, b, masked_m=masked_m, expected_m=max_m)
+    monkeypatch.setenv('DGT_MASKED_FORCE_EXIT', '1')
+    d_exit = fn(a, b, masked_m=masked_m, expected_m=max_m)
+    tol = 1e-3 if use_fp8 else 1e-5
+    m_np = np.asarray(masked_m)
+    for g in range(num_groups):
+        mg = int(m_np[g])
+        np.testing.assert_array_equal(
+            np.asarray(d_noexit[g, :mg]), np.asarray(d_exit[g, :mg]))
+        assert calc_diff(d_noexit[g, :mg], ref_d[g, :mg]) < tol
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    kinds = {(s.kind, getattr(s, 'no_early_exit', None))
+             for s in kernel_cache().specs()
+             if getattr(s, 'kind', None) == 'masked'}
+    assert ('masked', True) in kinds and ('masked', False) in kinds
+
+
 def test_m_grouped_contiguous_ids_zero_padding():
     """ids-layout padding rows (id == -1) must come out exactly zero with
     ensure_zero_padding — the reference zero-fills them

@@ -366,6 +366,46 @@ def test_mega_fused_local_d1_bitwise(use_fp8):
 
 
 @pytest.mark.parametrize('use_fp8', [False, True])
+def test_mega_local_multitile_bitwise(use_fp8):
+    """Local-vs-general bitwise equality at nt1 >= 2 and nt2 >= 2 — the
+    single-tile test above never exercises the local kernel's cross-tile
+    act_vmem accumulation (col0 > 0 epilogue writes) or the L2 tile walk."""
+    from deepgemm_tpu.kernels.fused_moe import fused_mega_moe
+    mesh = make_mesh([('ep', 1)])
+    e_local, cap, hidden, inter = 2, 32, 256, 256
+    rng = np.random.RandomState(13)
+    xm = jnp.asarray(rng.randn(e_local * cap, hidden) * 0.5, jnp.bfloat16)
+    rw = jnp.asarray(rng.rand(1, e_local, cap).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(e_local, 2 * inter, hidden) * 0.05,
+                     jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(e_local, hidden, inter) * 0.05, jnp.bfloat16)
+    if use_fp8:
+        xq, xsf = dg.per_token_cast_to_fp8(xm, use_ue8m0=False)
+        send = xq.reshape(1, e_local, cap, hidden)
+        send_sf = xsf.reshape(1, e_local, cap, -1)
+        w1q, w1sf = _quant_w(w1)
+        w2q, w2sf = _quant_w(w2)
+        args = dict(send_sf=send_sf, w1_sf=w1sf, w2_sf=w2sf)
+        a1, a2 = w1q, w2q
+    else:
+        send = xm.reshape(1, e_local, cap, hidden)
+        args = {}
+        a1, a2 = w1, w2
+
+    def run(force_general):
+        # block_n=128 -> nt1 = 2 L1 tiles; block_h=128 -> nt2 = 2 L2 tiles
+        fn = lambda s, rws, w1_, w2_: fused_mega_moe(
+            s, rws, w1_, w2_, 'ep', force_general=force_general,
+            block_n=128, block_h=128, **args)
+        return shard_map(fn, mesh=mesh, check_vma=False,
+                         in_specs=(P(),) * 4, out_specs=P())(send, rw, a1, a2)
+
+    y_local = run(False)
+    y_general = run(True)
+    assert_bitwise_equal(y_local, y_general)
+
+
+@pytest.mark.parametrize('use_fp8', [False, True])
 def test_pack_mega_weights_bitwise(use_fp8):
     """fused_mega_moe(packed=pack_mega_weights(...)) must equal the raw-
     weights call bitwise — the pack is a pure layout move (load-time analog
