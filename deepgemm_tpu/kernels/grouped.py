@@ -416,6 +416,7 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
     num_groups, max_m, k = a.shape
     n = b.shape[1]
     is_scaled = sfa is not None
+    user_cfg = cfg is not None
 
     if cfg is None:
         # expected_m only shapes the heuristic, never the semantics
@@ -441,6 +442,28 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
     import os as _os
     no_exit = (expected_m is not None and expected_m >= max_m
                and not _os.environ.get('DGT_MASKED_FORCE_EXIT'))
+
+    if no_exit and not user_cfg and max_m % 128 == 0:
+        # Full-occupancy reroute: the [G, max_m, ·] masked layout IS a
+        # contiguous psum layout with equal groups of max_m rows, and the
+        # contiguous STATIC kernel's dense-style 2D blocks measurably beat
+        # the masked kernel's leading-1 3D blocks (175.0 vs 171.1 TFLOPS at
+        # the G8 256x4096x7168 bench shape — the 4D grid + (1, bm, bk)
+        # blocks carry the same machinery cost as scalar prefetch).
+        # masked_m is ignored — identical contract to the unpredicated body:
+        # rows >= masked_m[g] are computed-and-ignored, never meaningful.
+        # Bitwise-equal to the masked kernel whenever both pick the same
+        # block_k (single-k-step shapes): same dot sizes, same gran_k
+        # sub-block promote order; rows/columns are independent of bm/bn.
+        import numpy as _np
+        layout = _np.arange(1, num_groups + 1, dtype=_np.int64) * max_m
+        d = m_grouped_gemm_contiguous(
+            a.reshape(num_groups * max_m, k), b, layout,
+            use_psum_layout=True,
+            sfa=None if sfa is None else sfa.reshape(num_groups * max_m, -1),
+            sfb_t=sfb_t, gran_k_a=gran_k_a, gran_k_b=gran_k_b,
+            out_dtype=out_dtype)
+        return d.reshape(num_groups, max_m, n)
     spec = GroupedGemmSpec(
         kind='masked', num_groups=num_groups, m=max_m, n=n, k=k,
         b_kmajor=True, a_dtype=str(a.dtype), b_dtype=str(b.dtype),

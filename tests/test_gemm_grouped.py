@@ -87,11 +87,15 @@ def test_m_grouped_masked(num_groups, max_m, expected_m, use_fp8):
 
 
 @pytest.mark.parametrize('use_fp8', [False, True])
-def test_m_grouped_masked_no_early_exit(monkeypatch, use_fp8):
-    """expected_m >= max_m builds the unpredicated masked kernel (the
-    always-true early-exit still costs Mosaic pipelining); it must agree
-    bitwise with the predicated kernel on ALL meaningful rows even when the
-    runtime masked_m is far below max_m — the predicate only skips work."""
+def test_m_grouped_masked_full_occupancy_reroute(monkeypatch, use_fp8):
+    """expected_m >= max_m with 128-aligned max_m reroutes through the
+    contiguous STATIC kernel (equal psum groups of max_m rows — measured
+    175.0 vs 171.1 TFLOPS for the masked kernel at the bench shape); it must
+    agree bitwise with the predicated masked kernel on ALL meaningful rows
+    even when the runtime masked_m is far below max_m — rows past masked_m
+    are never meaningful, so computing them instead of skipping is legal.
+    (Bitwise holds because both paths pick the same single-k-step block_k
+    here; rows/columns are independent of bm/bn.)"""
     num_groups, max_m, n, k = 3, 128, 256, 384
     a, b, masked_m, ref_d = generate_m_grouped_masked(
         num_groups, max_m, 40, n, k, use_fp8=use_fp8)
@@ -107,6 +111,32 @@ def test_m_grouped_masked_no_early_exit(monkeypatch, use_fp8):
         np.testing.assert_array_equal(
             np.asarray(d_noexit[g, :mg]), np.asarray(d_exit[g, :mg]))
         assert calc_diff(d_noexit[g, :mg], ref_d[g, :mg]) < tol
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    specs = kernel_cache().specs()
+    assert any(getattr(s, 'kind', None) == 'contiguous'
+               and s.static_tpg == max_m // s.cfg.block_m
+               for s in specs), 'reroute must build the static contiguous kernel'
+    assert any(getattr(s, 'kind', None) == 'masked'
+               and not s.no_early_exit for s in specs)
+
+
+def test_m_grouped_masked_no_early_exit_unaligned(monkeypatch):
+    """max_m NOT 128-aligned cannot reroute (group starts misalign the lane
+    tiles); it must build the unpredicated masked kernel instead and stay
+    bitwise with the predicated one on meaningful rows."""
+    num_groups, max_m, n, k = 3, 96, 256, 384
+    a, b, masked_m, ref_d = generate_m_grouped_masked(
+        num_groups, max_m, 40, n, k, use_fp8=False)
+    fn = dg.m_grouped_bf16_gemm_nt_masked
+    d_noexit = fn(a, b, masked_m=masked_m, expected_m=max_m)
+    monkeypatch.setenv('DGT_MASKED_FORCE_EXIT', '1')
+    d_exit = fn(a, b, masked_m=masked_m, expected_m=max_m)
+    m_np = np.asarray(masked_m)
+    for g in range(num_groups):
+        mg = int(m_np[g])
+        np.testing.assert_array_equal(
+            np.asarray(d_noexit[g, :mg]), np.asarray(d_exit[g, :mg]))
+        assert calc_diff(d_noexit[g, :mg], ref_d[g, :mg]) < 1e-5
     from deepgemm_tpu.runtime.cache import kernel_cache
     kinds = {(s.kind, getattr(s, 'no_early_exit', None))
              for s in kernel_cache().specs()
