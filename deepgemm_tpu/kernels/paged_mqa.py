@@ -55,6 +55,10 @@ class PagedMQASpec:
     # sideband (~1 MB) still rides a linear gather.
     linear_cache: bool = False
     kv_dtype: str = 'float8_e4m3fn'   # cache dtype (bf16 after FP4 decode)
+    # Zero-copy only: DMA pipeline depth in kv tiles (slots in the VMEM ring;
+    # lookahead = n_slots - 1 tiles in flight). Scattered 8KB page reads are
+    # latency-bound, so deeper lookahead buys real bandwidth.
+    n_slots: int = 2
 
 
 def _build_paged_mqa(spec: PagedMQASpec):
@@ -204,6 +208,8 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
     out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c: (b, 0, c),
                             memory_space=pltpu.VMEM)
 
+    n_slots = max(2, spec.n_slots)
+
     def kernel(bt_ref, ctx_ref, q_ref, w_ref, kv_hbm, sf_ref, out_ref,
                kv_vmem, copy_sems):
         b = pl.program_id(0)
@@ -234,23 +240,33 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
                 for i in range(bpt):
                     page_copy(bb, cc, i, slot).start()
 
+        # linear tile sequence t = b*gkv + c; slot(t) = t mod n_slots;
+        # step t issues tile t + (n_slots-1), so n_slots-1 tiles of scattered
+        # page DMAs stay in flight under the compute (8KB page reads are
+        # latency-bound — depth 2 measured 393 GB/s, depth 4+: see README)
+        t_seq = b * gkv + c
+        look = n_slots - 1
+
         @pl.when((b == 0) & (c == 0))
         def _():
-            issue_tile(0, 0, 0)
+            # bootstrap tiles 0 .. n_slots-2 into slots 0 .. n_slots-2
+            for t0 in range(look):
+                issue_tile(t0 // gkv, t0 % gkv, t0 % n_slots)
 
-        # next grid step's tile: (b, c+1), or (b+1, 0) at the row end
-        nb = jnp.where(c + 1 < gkv, b, b + 1)
-        nc = jnp.where(c + 1 < gkv, c + 1, 0)
+        # the tile this step must issue: t + look (slot = (t+look) mod S)
+        nb = (t_seq + look) // gkv
+        nc = jax.lax.rem(t_seq + look, gkv)
+        nslot = jax.lax.rem(t_seq + look, n_slots)
 
         @pl.when(active)
         def _():
-            # wait for our tile's pages (issued by the previous step, or by
-            # the bootstrap above), then prefetch the next step's tile into
-            # the other slot BEFORE computing, so DMA rides under the MXU.
-            slot = jax.lax.rem(b * gkv + c, 2)
+            # wait for our tile's pages (issued `look` steps earlier, or by
+            # the bootstrap above), then prefetch tile t+look BEFORE
+            # computing, so its DMAs ride under the MXU.
+            slot = jax.lax.rem(t_seq, n_slots)
             for i in range(bpt):
                 page_copy(b, c, i, slot).wait()
-            issue_tile(nb, nc, 1 - slot)
+            issue_tile(nb, nc, nslot)
 
             q_blk = q_ref[0]
             w3 = w_ref[0].astype(jnp.float32)
@@ -281,12 +297,10 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
         def _():
             out_ref[:] = jnp.full_like(out_ref,
                                        jnp.asarray(NEG_INF, out_dtype))
-            # still prefetch the next step's tile (this step has no compute
-            # to hide it under, but the next active step must find its pages
-            # issued exactly once): only the step directly before (nb, nc)
-            # may issue, which is us.
-            slot = jax.lax.rem(b * gkv + c, 2)
-            issue_tile(nb, nc, 1 - slot)
+            # still prefetch tile t+look (this step has no compute to hide
+            # it under, but the step that consumes it must find its pages
+            # issued exactly once): only step t may issue tile t+look.
+            issue_tile(nb, nc, nslot)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -294,8 +308,8 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, tile_kv, d), jnp.dtype(spec.kv_dtype)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, tile_kv, d), jnp.dtype(spec.kv_dtype)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     call = pl.pallas_call(
@@ -335,12 +349,17 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
     # ("Slice shape along dimension 2 must be aligned to tiling (128)") —
     # fall back to the bitwise-identical gather strategy for narrow heads.
     linear = strategy == 'gather' or d % 128 != 0
+    # Zero-copy DMA pipeline depth: scattered page reads are latency-bound,
+    # so keep n_slots-1 tiles of page DMAs in flight (DGT_ZC_SLOTS pins it
+    # for A/B profiling; default measured on chip, see README).
+    import os as _os
+    n_slots = int(_os.environ.get('DGT_ZC_SLOTS', '4'))
     spec = PagedMQASpec(
         batch_size=b_sz, next_n=nn, num_heads=h, head_dim=d,
         num_kv_blocks=num_blocks, block_kv=bkv, max_blocks_per_seq=mb,
         max_model_len=max_model_len, ctx_2d=ctx_2d,
         logits_dtype=str(jnp.dtype(logits_dtype)), tile_kv=tile_kv,
-        linear_cache=linear, kv_dtype=str(kv_cache.dtype))
+        linear_cache=linear, kv_dtype=str(kv_cache.dtype), n_slots=n_slots)
     builder = _build_paged_mqa if linear else _build_paged_mqa_zerocopy
     fn = kernel_cache().get_or_build(spec, lambda: builder(spec))
 
