@@ -80,6 +80,15 @@ def _device_time_of(fn, args, tag) -> float:
     return (best or wall) / N_ITERS
 
 
+# INPUT-REFRESH RULE (measured, scripts/measure_roll.py): every loop body
+# must depend on ``i`` through a real operand so XLA cannot hoist the call
+# out of the fori_loop — but jnp.roll of a LARGE operand materializes a copy
+# the Pallas custom call cannot absorb (the XLA dot/einsum baselines fuse the
+# same roll for free: dense 4096^3 kernel measured 176.2 roll-A vs 188.8
+# roll-SF-only, while the XLA dot reads 187.9 either way). So kernel legs
+# roll a SMALL side operand (the f32 scales / weights), and XLA-baseline legs
+# keep rolling the big operand they fuse anyway. BF16 kernel legs (no SF)
+# keep the big roll — their ragged_dot baseline pays the same copy.
 def _loop(body_fn):
     @jax.jit
     def loop(*args):
@@ -119,7 +128,7 @@ def main():
         assert calc_diff(d, ref) < 1e-3, (m, n, k)
 
         loop_ours = _loop(lambda i, av, sf, bv, bs2:
-                          dg.fp8_gemm_nt((jnp.roll(av, i, 0), sf),
+                          dg.fp8_gemm_nt((av, jnp.roll(sf, i, 0)),
                                          (bv, bs2))[0, 0].astype(jnp.float32))
         loop_xla = _loop(lambda i, a_, b_:
                          jnp.dot(jnp.roll(a_, i, 0), b_.T,
@@ -153,7 +162,7 @@ def main():
     from deepgemm_tpu.kernels.grouped import m_grouped_gemm_contiguous
     loop_g = _loop(lambda i, aq_, asf_, bq_, sfb_:
                    m_grouped_gemm_contiguous(
-                       jnp.roll(aq_, i, 0), bq_, ids, use_psum_layout=False,
+                       aq_, bq_, ids, use_psum_layout=False,
                        sfa=jnp.roll(asf_, i, 0), sfb_t=sfb_,
                        out_dtype=jnp.bfloat16)[0, 0].astype(jnp.float32))
     b_kn = jnp.swapaxes(bg, 1, 2)
@@ -192,7 +201,7 @@ def main():
     aq128, asf128 = dg.per_token_cast_to_fp8(a128, use_ue8m0=False)
     loop_g128 = _loop(lambda i, aq_, asf_, bq_, sfb_:
                       m_grouped_gemm_contiguous(
-                          jnp.roll(aq_, i, 0), bq_, ids128,
+                          aq_, bq_, ids128,
                           use_psum_layout=False,
                           sfa=jnp.roll(asf_, i, 0), sfb_t=sfb_,
                           out_dtype=jnp.bfloat16)[0, 0].astype(jnp.float32))
@@ -219,7 +228,7 @@ def main():
     from deepgemm_tpu.kernels.grouped import m_grouped_gemm_masked
     loop_m = _loop(lambda i, aq_, sf_, bq_, sfb_:
                    m_grouped_gemm_masked(
-                       jnp.roll(aq_, i, 1), bq_, masked, sfa=jnp.roll(sf_, i, 1),
+                       aq_, bq_, masked, sfa=jnp.roll(sf_, i, 1),
                        sfb_t=sfb_, out_dtype=jnp.bfloat16,
                        expected_m=max_m)[0, 0, 0].astype(jnp.float32))
     loop_me = _loop(lambda i, a_, b_:
@@ -254,7 +263,7 @@ def main():
     # while a static [0,0,0] lets XLA DCE this einsum into a sliver.
     # [0, 0, i] is DCE-proof and relayout-free.
     loop_k = _loop(lambda i, a_, b_, sa, sb:
-                   k_grouped_gemm(jnp.roll(a_, i, 1), b_, None,
+                   k_grouped_gemm(a_, b_, None,
                                   jnp.asarray(ks_list, jnp.int32),
                                   use_psum_layout=False,
                                   sfa_t=jnp.roll(sa, i, 1), sfb_t=sb,
@@ -282,8 +291,9 @@ def main():
     q8 = jnp.clip(qm.astype(jnp.float32), -448, 448).astype(jnp.float8_e4m3fn)
     kv8, kvsf = dg.per_custom_dims_cast_to_fp8(kvm, (0,), use_ue8m0=False)
     loop_mqa = _loop(lambda i, q_, kv_, w_:
-                     dg.fp8_mqa_logits((jnp.roll(q_, i, 0), None), (kv_, kvsf),
-                                       w_, ksr, ker)[0, 0].astype(jnp.float32))
+                     dg.fp8_mqa_logits((q_, None), (kv_, kvsf),
+                                       jnp.roll(w_, i, 0), ksr,
+                                       ker)[0, 0].astype(jnp.float32))
     t_mqa = _device_time_of(loop_mqa, (q8, kv8, wm), 'mqa')
     flops_mqa = 2 * sq * h * dh * skv
     tf_mqa = flops_mqa / t_mqa / 1e12
@@ -366,7 +376,7 @@ def main():
     @jax.jit
     def loop_mega(xs, ss, rws, pw):
         def body(i, acc):
-            o = mega_fn(jnp.roll(xs, i, 2), ss, rws, pw)
+            o = mega_fn(xs, jnp.roll(ss, i, 2), rws, pw)
             return acc + o[0, 0, 0, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
     t_mega = _device_time_of(
