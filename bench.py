@@ -387,6 +387,84 @@ def main():
         value=round(flops_mega / t_mega / 1e12, 1), unit='TFLOPS',
         vs_baseline=round(flops_mega / t_mega / 1e12 / BF16_PEAK, 3))
 
+    # ---- config 6: end-to-end serving decode step (tokens/s) ------------
+    # One continuous-batching decode step for ALL slots in a single device
+    # launch (the serving engine's _device_step dataflow: cache scatter-
+    # append + Pallas paged indexer scoring + top-k + sparse attention over
+    # the selected slots). Baseline: the same step with the indexer scoring
+    # done as a plain-JAX gather + einsum — what a no-kernel JAX server
+    # would run. tokens/s = slots / step time at full occupancy.
+    from deepgemm_tpu.models.indexer import indexer_sparse_decode, \
+        _topk_indices
+    Bs, bkv_s, mps = 64, 64, 64
+    nbs = Bs * mps
+    hs, ds, his, dis, tks = 8, 128, 32, 128, 512
+    mcl = bkv_s * mps                                  # ctx 4096
+    kp_s = jnp.asarray(rng.randn(nbs, bkv_s, hs, ds) * 0.1, jnp.bfloat16)
+    vp_s = jnp.asarray(rng.randn(nbs, bkv_s, hs, ds) * 0.1, jnp.bfloat16)
+    ikp_s = jnp.clip(jnp.asarray(rng.randn(nbs, bkv_s, dis), jnp.float32),
+                     -448, 448).astype(jnp.float8_e4m3fn)
+    isfp_s = jnp.asarray(rng.rand(nbs, bkv_s).astype(np.float32))
+    btab_s = jnp.asarray(rng.permutation(nbs).reshape(Bs, mps), jnp.int32)
+    last = mcl - 1
+    pages_s = btab_s[jnp.arange(Bs), last // bkv_s]
+    offs_s = jnp.full((Bs,), last % bkv_s, jnp.int32)
+    ctx_s = jnp.full((Bs,), mcl, jnp.int32)            # after the append
+    q_s = jnp.asarray(rng.randn(Bs, hs, ds) * 0.1, jnp.bfloat16)
+    iq_s = jnp.asarray(rng.randn(Bs, his, dis) * 0.1, jnp.bfloat16)
+    iw_s = jnp.asarray(rng.randn(Bs, his).astype(np.float32))
+    kn_s = jnp.asarray(rng.randn(Bs, hs, ds) * 0.1, jnp.bfloat16)
+    vn_s = jnp.asarray(rng.randn(Bs, hs, ds) * 0.1, jnp.bfloat16)
+    ikn_s = jnp.clip(jnp.asarray(rng.randn(Bs, dis), jnp.float32),
+                     -448, 448).astype(jnp.float8_e4m3fn)
+    isn_s = jnp.asarray(rng.rand(Bs).astype(np.float32))
+
+    def _serve_step(iw, kernels: bool):
+        kp2 = kp_s.at[pages_s, offs_s].set(kn_s)
+        vp2 = vp_s.at[pages_s, offs_s].set(vn_s)
+        ik2 = ikp_s.at[pages_s, offs_s].set(ikn_s)
+        is2 = isfp_s.at[pages_s, offs_s].set(isn_s)
+        if kernels:
+            out = indexer_sparse_decode(
+                q_s[:, None], (kp2, vp2), (ik2, is2), iq_s[:, None], iw,
+                ctx_s, btab_s, mcl, tks)
+        else:
+            # plain-JAX scoring: gather the index cache linear, relu einsum
+            ik_lin = ik2[btab_s].reshape(Bs, mcl, dis).astype(jnp.float32)
+            is_lin = is2[btab_s].reshape(Bs, mcl)
+            sc = jnp.maximum(
+                jnp.einsum('bhd,btd->bht', iq_s.astype(jnp.float32), ik_lin),
+                0.0) * is_lin[:, None]
+            logits = jnp.einsum('bht,bh->bt', sc, iw)
+            col = jnp.arange(mcl, dtype=jnp.int32)[None]
+            logits = jnp.where(col < ctx_s[:, None], logits, -jnp.inf)
+            sel, valid = _topk_indices(logits, tks)
+            pg = jnp.clip(sel, 0, mcl - 1) // bkv_s
+            of = jnp.clip(sel, 0, mcl - 1) % bkv_s
+            rows = jnp.arange(Bs)[:, None]
+            blocks = btab_s[rows, jnp.clip(pg, 0, mps - 1)]
+            k_sel = kp2[blocks, of]
+            v_sel = vp2[blocks, of]
+            scr = jnp.einsum('bhd,bthd->bht', q_s.astype(jnp.float32),
+                             k_sel.astype(jnp.float32)) / np.sqrt(ds)
+            scr = jnp.where(valid[:, None, :], scr, -jnp.inf)
+            pr = jax.nn.softmax(scr, axis=-1)
+            out = jnp.einsum('bht,bthd->bhd', pr,
+                             v_sel.astype(jnp.float32))[:, None]
+        # consume the appended caches too (the scatter must not DCE)
+        return (out.astype(jnp.float32).reshape(-1)[0]
+                + kp2[0, 0, 0, 0].astype(jnp.float32)
+                + vp2[0, 0, 0, 0].astype(jnp.float32)
+                + ik2[0, 0, 0].astype(jnp.float32) + is2[0, 0])
+
+    loop_sv = _loop(lambda i, iw: _serve_step(jnp.roll(iw, i, 0), True))
+    loop_sx = _loop(lambda i, iw: _serve_step(jnp.roll(iw, i, 0), False))
+    t_sv = _device_time_of(loop_sv, (iw_s,), 'serving')
+    t_sx = _device_time_of(loop_sx, (iw_s,), 'serving_xla')
+    ops['serving_decode_tokens_per_s'] = _emit(
+        'serving_decode_tokens_per_s', value=round(Bs / t_sv, 1),
+        unit='tokens/s', vs_baseline=round(t_sx / t_sv, 3))
+
     # ---- headline (round-1-comparable) ----------------------------------
     geo_tf = math.exp(sum(math.log(x) for x in tflops) / len(tflops))
     geo_sp = math.exp(sum(math.log(x) for x in speedups) / len(speedups))
