@@ -50,3 +50,31 @@ def promote_block(spec, bk: int, k: int, a_blk, b_blk, sfa_blk, sfb_blk):
         term = (p * sfb_blk[sb:sb + 1, :]) * sfa_blk[:, sa:sa + 1]
         total = term if total is None else total + term
     return total
+
+
+def ici_entry_barrier(axis_name: str, num_devices: int):
+    """Cross-rank entry barrier before one-sided RDMA — the TPU analog of
+    the reference's nvlink_barrier (/root/reference/deep_gemm/include/
+    deep_gemm/comm/barrier.cuh:46-89): every rank signals every peer's
+    barrier semaphore and waits for all peers' signals, so no push can land
+    in a peer's kernel buffers before that peer has entered the kernel
+    (buffer-liveness on real hardware, where XLA may still be reusing the
+    target HBM). Mosaic also *requires* it: ``collective_id`` names the
+    barrier semaphore's namespace and may only be set when the kernel uses
+    one ("collective_id has to be unspecified or None when not using a
+    custom barrier" — caught by the chipless AOT D=4 compile, which the CPU
+    interpreter never surfaces). Call at the first grid step, before the
+    first remote copy.
+    """
+    if num_devices <= 1:
+        # no peers — and the barrier semaphore may only be touched when the
+        # pallas_call carries a collective_id (callers pass None at D=1)
+        return
+    from jax.experimental.pallas import tpu as pltpu
+    my = jax.lax.axis_index(axis_name)
+    sem = pltpu.get_barrier_semaphore()
+    for p in range(1, num_devices):
+        peer = jax.lax.rem(my + p, num_devices)
+        pltpu.semaphore_signal(sem, 1, device_id=peer,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+    pltpu.semaphore_wait(sem, num_devices - 1)

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..runtime.config import is_cpu_backend
+from .common import ici_entry_barrier
 
 
 def _kernel(*args, num_devices: int, axis_name: str, scaled: bool,
@@ -65,8 +66,10 @@ def _kernel(*args, num_devices: int, axis_name: str, scaled: bool,
 
     @pl.when((s == 0) & (e == 0) & (j == 0))
     def _():
-        # Launch every peer push up front — all slabs ride ICI concurrently
-        # while slab 0 (our own tokens) computes.
+        # Entry barrier (the nvlink_barrier analog), then launch every peer
+        # push up front — all slabs ride ICI concurrently while slab 0 (our
+        # own tokens) computes.
+        ici_entry_barrier(axis_name, nd)
         for p in range(1, nd):
             _rdma(p, send_ref, recv_ref, send_sems, recv_sems).start()
             if scaled:
@@ -188,7 +191,9 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            collective_id=collective_id,
+            # collective_id names the entry-barrier semaphore; Mosaic
+            # rejects it when no barrier is used (the D=1 no-peer case)
+            collective_id=collective_id if num_devices > 1 else None,
             dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
         ),
         interpret=interpret,
@@ -253,18 +258,23 @@ def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
 
 def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                  e_local: int, nt1: int, nt2: int, bn1: int, bh2: int,
-                 gran_k: int = 128, clamp: float = 256.0):
+                 pool: int, cap: int, gran_k: int = 128,
+                 clamp: float = 256.0):
     """Fully-fused mega MoE kernel body: phases 1-3 of the reference kernel
     (/root/reference/deep_gemm/include/deep_gemm/impls/sm100_fp8_fp4_mega_moe.cuh:
     dispatch :432-877, SwiGLU/requant epilogue :938-1132, L2 :1144-1233,
     combine push :1246-1384) in one Pallas program.
 
-    Grid (s, e, t): slab (processing step) s, local expert e, inner tile t.
-    t < nt1 runs paired gate/up L1 tiles + SwiGLU (+in-kernel FP8 requant);
-    t >= nt1 runs L2 output tiles from the VMEM act buffer; the last t of
-    each (s, e) RDMA-pushes the BF16 result slab back to its source rank's
-    combine buffer. Dispatch pushes launch at the first grid step; combine
-    pushes drain at the last — every transfer rides ICI under MXU work.
+    Grid (sp, e, t): slab POOL sp (``pool`` consecutive processing steps —
+    the wave-pool, see ``pick_wave_pool``), local expert e, inner tile t.
+    Each (sp, e) stages ``pool * cap`` token rows into VMEM and runs them
+    through every weight tile in ONE dot, so expert weights stream from HBM
+    D/pool times per forward instead of D times. t < nt1 runs paired gate/up
+    L1 tiles + SwiGLU (+in-kernel FP8 requant); t >= nt1 runs L2 output
+    tiles from the VMEM act buffer; the last t of each (sp, e) RDMA-pushes
+    the finished BF16 slabs back to their source ranks' combine buffers.
+    Dispatch pushes launch at the first grid step; combine pushes drain at
+    the last — every transfer rides ICI under MXU work.
     """
     if scaled:
         (send_ref, sfsend_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
@@ -278,12 +288,18 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
          x_vmem, act_vmem, y_tile,
          copy_sem, ycopy_sems, send_sems, recv_sems,
          ysend_sems, yrecv_sems) = args
-    s = pl.program_id(0)
+    sp = pl.program_id(0)
     e = pl.program_id(1)
     t = pl.program_id(2)
     my = jax.lax.axis_index(axis_name)
     nd = num_devices
     t_last = nt1 + nt2 - 1
+    npool = nd // pool
+
+    def _slab(i):
+        # processing step (slab index) i of pool sp, and its source rank
+        s_i = sp * pool + i
+        return s_i, jax.lax.rem(my - s_i + nd, nd)
 
     def _rdma(p, src_r, dst_r, ssems, rsems, offset=None):
         dst = jax.lax.rem(my + p, nd)
@@ -296,10 +312,12 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
             device_id=dst,
             device_id_type=pltpu.DeviceIdType.LOGICAL)
 
-    @pl.when((s == 0) & (e == 0) & (t == 0))
+    @pl.when((sp == 0) & (e == 0) & (t == 0))
     def _():
-        # Dispatch: every peer push launches up front; all slabs ride ICI
-        # while slab 0 (our own tokens) computes.
+        # Entry barrier (the nvlink_barrier analog, required by Mosaic for
+        # collective_id), then dispatch: every peer push launches up front;
+        # all slabs ride ICI while slab 0 (our own tokens) computes.
+        ici_entry_barrier(axis_name, nd)
         for p in range(1, nd):
             _rdma(p, send_ref, recv_ref, send_sems, recv_sems).start()
             if scaled:
@@ -315,28 +333,48 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
             lsf.start()
             lsf.wait()
 
-    src = jax.lax.rem(my - s + nd, nd)
-
-    @pl.when((e == 0) & (t == 0) & (s > 0))
+    @pl.when((e == 0) & (t == 0))
     def _():
-        # First compute step of slab s: wait for its landing + our own
-        # offset-s push to drain.
-        _rdma(s, send_ref, recv_ref, send_sems, recv_sems, offset=src).wait()
-        if scaled:
-            _rdma(s, sfsend_ref, sfrecv_ref, sf_send_sems, sf_recv_sems,
-                  offset=src).wait()
+        # First compute step of pool sp: wait for every slab in the pool to
+        # land + our own same-offset pushes to drain. (Slab 0 is our local
+        # copy, waited synchronously at dispatch; only pool 0's slab-0 entry
+        # skips the RDMA wait.)
+        def _wait_slab(s_i, src_i):
+            _rdma(s_i, send_ref, recv_ref, send_sems, recv_sems,
+                  offset=src_i).wait()
+            if scaled:
+                _rdma(s_i, sfsend_ref, sfrecv_ref, sf_send_sems,
+                      sf_recv_sems, offset=src_i).wait()
+
+        for i in range(pool):
+            s_i, src_i = _slab(i)
+            if i == 0:
+                @pl.when(sp > 0)
+                def _(s_i=s_i, src_i=src_i):
+                    _wait_slab(s_i, src_i)
+            else:
+                _wait_slab(s_i, src_i)
 
     @pl.when(t == 0)
     def _():
-        # Stage expert e's token slab (cap, H) into VMEM once per (s, e).
-        stage = pltpu.make_async_copy(recv_ref.at[src, e], x_vmem, copy_sem)
-        stage.start()
-        stage.wait()
-        if scaled:
-            ssf = pltpu.make_async_copy(sfrecv_ref.at[src, e], xsf_vmem,
-                                        copy_sem)
-            ssf.start()
-            ssf.wait()
+        # Stage expert e's pooled token rows (pool * cap, H) into VMEM once
+        # per (sp, e) — pool slab copies, overlapped, then one joint wait.
+        copies = []
+        for i in range(pool):
+            s_i, src_i = _slab(i)
+            stage = pltpu.make_async_copy(
+                recv_ref.at[src_i, e], x_vmem.at[pl.ds(i * cap, cap)],
+                copy_sem)
+            stage.start()
+            copies.append(stage)
+            if scaled:
+                ssf = pltpu.make_async_copy(
+                    sfrecv_ref.at[src_i, e],
+                    xsf_vmem.at[pl.ds(i * cap, cap)], copy_sem)
+                ssf.start()
+                copies.append(ssf)
+        for c in copies:
+            c.wait()
 
     @pl.when(t < nt1)
     def _l1():
@@ -357,14 +395,18 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                      bn1=bn1, col0=col0, scaled=scaled, gran_k=gran_k,
                      clamp=clamp)
 
-    def _ycopy(j, slot):
-        # local HBM write of one finished y tile (double-buffered: a full
-        # (cap, H) y buffer at serving dims costs ~2 MiB of VMEM that the
-        # L1 weight tiles need more)
-        return pltpu.make_async_copy(
-            y_tile.at[slot],
-            ystage_ref.at[s, e, :, pl.ds(j * bh2, bh2)],
-            ycopy_sems.at[slot])
+    def _ycopies(j, slot):
+        # local HBM writes of one finished y tile, one per pooled slab
+        # (double-buffered: a full (pool * cap, H) y buffer at serving dims
+        # costs VMEM the L1 weight tiles need more)
+        out = []
+        for i in range(pool):
+            s_i, _ = _slab(i)
+            out.append(pltpu.make_async_copy(
+                y_tile.at[slot, pl.ds(i * cap, cap)],
+                ystage_ref.at[s_i, e, :, pl.ds(j * bh2, bh2)],
+                ycopy_sems.at[slot]))
+        return out
 
     @pl.when(t >= nt1)
     def _l2():
@@ -374,47 +416,60 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
         if nt2 > 2:
             @pl.when(j2 >= 2)
             def _():
-                # same-parity buffer reuse: its copy must have drained
-                _ycopy(j2 - 2, slot).wait()
+                # same-parity buffer reuse: its copies must have drained
+                for c in _ycopies(j2 - 2, slot):
+                    c.wait()
         if scaled:
             y = _promote_dot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
                              w2sf_ref[0], gran_k)
         else:
             y = _plain_dot(act_vmem[:], w2_ref[0])
         y_tile[pl.ds(slot, 1)] = y.astype(jnp.bfloat16)[None]
-        _ycopy(j2, slot).start()
+        for c in _ycopies(j2, slot):
+            c.start()
 
     @pl.when(t == t_last)
     def _push():
-        # Combine push (:1246-1384): stage the finished BF16 slab to HBM,
-        # then one-sided RDMA back to the source rank's combine buffer at
+        # Combine push (:1246-1384): stage the finished BF16 slabs to HBM,
+        # then one-sided RDMA back to each source rank's combine buffer at
         # slot [my, e] (sender-rank-indexed — the same layout the unfused
-        # path's reverse all-to-all produces). The push overlaps the next
-        # (s, e) step's MXU work; drained at the final grid step.
-        _ycopy(nt2 - 1, (nt2 - 1) % 2).wait()
+        # path's reverse all-to-all produces). The pushes overlap the next
+        # (sp, e) step's MXU work; drained at the final grid step.
+        for c in _ycopies(nt2 - 1, (nt2 - 1) % 2):
+            c.wait()
         if nt2 >= 2:
-            _ycopy(nt2 - 2, (nt2 - 2) % 2).wait()
+            for c in _ycopies(nt2 - 2, (nt2 - 2) % 2):
+                c.wait()
 
-        @pl.when(s == 0)
-        def _():
-            lc = pltpu.make_async_copy(ystage_ref.at[s, e],
-                                       combine_ref.at[my, e], copy_sem)
-            lc.start()
-            lc.wait()
-
-        @pl.when(s > 0)
-        def _():
-            idx = s * e_local + e
-            push = pltpu.make_async_remote_copy(
-                src_ref=ystage_ref.at[s, e],
+        def _ypush(s_i, src_i):
+            idx = s_i * e_local + e
+            return pltpu.make_async_remote_copy(
+                src_ref=ystage_ref.at[s_i, e],
                 dst_ref=combine_ref.at[my, e],
                 send_sem=ysend_sems.at[idx],
                 recv_sem=yrecv_sems.at[idx],
-                device_id=src,
+                device_id=src_i,
                 device_id_type=pltpu.DeviceIdType.LOGICAL)
-            push.start()
 
-    @pl.when((s == nd - 1) & (e == e_local - 1) & (t == t_last))
+        for i in range(pool):
+            s_i, src_i = _slab(i)
+            if i == 0:
+                # slab sp*pool+0 is slab 0 (our own tokens) only in pool 0
+                @pl.when(sp == 0)
+                def _(s_i=s_i):
+                    lc = pltpu.make_async_copy(ystage_ref.at[s_i, e],
+                                               combine_ref.at[my, e],
+                                               copy_sem)
+                    lc.start()
+                    lc.wait()
+
+                @pl.when(sp > 0)
+                def _(s_i=s_i, src_i=src_i):
+                    _ypush(s_i, src_i).start()
+            else:
+                _ypush(s_i, src_i).start()
+
+    @pl.when((sp == npool - 1) & (e == e_local - 1) & (t == t_last))
     def _drain():
         # Final barrier: all our combine sends drained, all peers' results
         # landed. Peer (my+step) processed our tokens at ITS slab step `step`,
@@ -553,6 +608,7 @@ class MegaPackedWeights:
     bn1: int = dataclasses.field(metadata=dict(static=True), default=0)
     bh2: int = dataclasses.field(metadata=dict(static=True), default=0)
     gran_k: int = dataclasses.field(metadata=dict(static=True), default=128)
+    pool: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 
 def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
@@ -567,10 +623,16 @@ def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
     inter = two_i // 2
     assert w2.shape == (e_local, hidden, inter), (w2.shape,)
     scaled = w1_sf is not None
+    xb = jnp.dtype(x_dtype).itemsize
+    wb = jnp.dtype(w1.dtype).itemsize
+    pool = 1
+    if num_devices > 1:
+        pool = pick_wave_pool(num_devices, cap, hidden, inter, xb=xb, wb=wb,
+                              scaled=scaled, gran_k=gran_k,
+                              block_n=block_n, block_h=block_h)
     bn1, bh2 = pick_mega_tiles(
-        hidden, inter, cap, xb=jnp.dtype(x_dtype).itemsize,
-        wb=jnp.dtype(w1.dtype).itemsize, scaled=scaled, gran_k=gran_k,
-        block_n=block_n, block_h=block_h, local=num_devices == 1)
+        hidden, inter, cap, xb=xb, wb=wb, scaled=scaled, gran_k=gran_k,
+        block_n=block_n, block_h=block_h, local=num_devices == 1, pool=pool)
     nt1 = inter // bn1
     w1p = w1.reshape(e_local, 2, nt1, bn1, hidden) \
         .transpose(0, 2, 1, 3, 4).reshape(e_local, nt1, 2 * bn1, hidden)
@@ -586,13 +648,34 @@ def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
         w2sf_t = jnp.repeat(w2_sf.astype(jnp.float32), gran_k,
                             axis=1)[:, :hidden].transpose(0, 2, 1)
     return MegaPackedWeights(w1p=w1p, w2=w2, w1sf_t=w1sf_t, w2sf_t=w2sf_t,
-                             bn1=bn1, bh2=bh2, gran_k=gran_k)
+                             bn1=bn1, bh2=bh2, gran_k=gran_k, pool=pool)
+
+
+def _mega_vmem_bytes(b1: int, b2: int, *, hidden: int, inter: int,
+                     rows: int, xb: int, wb: int, scaled: bool,
+                     gran_k: int, local: bool) -> int:
+    """Conservative VMEM working-set estimate for the fused mega kernel at
+    L1 tile width ``b1``, L2 tile width ``b2`` and ``rows`` token rows per
+    MXU pass (``rows = pool * cap`` in the wave-pooled general kernel)."""
+    e = (2 * b1 * hidden * wb) * 2          # w1 gate/up pair, dbl-buffered
+    e += (b2 * inter * wb) * 2              # w2 tile
+    # x: one staging buffer (general) / a double-buffered BlockSpec (local)
+    e += rows * hidden * xb * (2 if local else 1)
+    e += rows * inter * (1 if scaled else 2)  # act
+    e += 2 * rows * b2 * 2                   # y tile double buffer
+    if scaled:
+        ksf1_ = ((hidden // gran_k + 127) // 128) * 128
+        e += rows * ksf1_ * 4 * (2 if local else 1) \
+            + (inter // gran_k) * rows * 4
+        e += 2 * (hidden // gran_k) * b1 * 4 * 2
+        e += (inter // gran_k) * b2 * 4 * 2
+    return e
 
 
 def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
                     scaled: bool, gran_k: int = 128,
                     block_n: int = 0, block_h: int = 0,
-                    budget: int = 0, local: bool = False):
+                    budget: int = 0, local: bool = False, pool: int = 1):
     """VMEM-aware (bn1, bh2) tile pick for the fused mega kernel.
 
     At serving dims (H 7168, I 2048, cap 128, bn1 = bh2 = 256) the working
@@ -641,19 +724,9 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
         assert bn1 % gran_k == 0, bn1
 
     def _est(b1, b2):
-        e = (2 * b1 * hidden * wb) * 2          # w1 gate/up pair, dbl-buffered
-        e += (b2 * inter * wb) * 2              # w2 tile
-        # x: one staging buffer (general) / a double-buffered BlockSpec (local)
-        e += cap * hidden * xb * (2 if local else 1)
-        e += cap * inter * (1 if scaled else 2)  # act
-        e += 2 * cap * b2 * 2                   # y tile double buffer
-        if scaled:
-            ksf1_ = ((hidden // gran_k + 127) // 128) * 128
-            e += cap * ksf1_ * 4 * (2 if local else 1) \
-                + (inter // gran_k) * cap * 4
-            e += 2 * (hidden // gran_k) * b1 * 4 * 2
-            e += (inter // gran_k) * b2 * 4 * 2
-        return e
+        return _mega_vmem_bytes(b1, b2, hidden=hidden, inter=inter,
+                                rows=pool * cap, xb=xb, wb=wb, scaled=scaled,
+                                gran_k=gran_k, local=local)
 
     def _shrink_div(cur, total, quantum):
         # Largest value < cur that divides `total` and is a multiple of
@@ -685,6 +758,54 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
     return bn1, bh2
 
 
+def pick_wave_pool(num_devices: int, cap: int, hidden: int, inter: int, *,
+                   xb: int, wb: int, scaled: bool, gran_k: int = 128,
+                   block_n: int = 0, block_h: int = 0) -> int:
+    """Wave-pool size P for the general (D>1) fused mega kernel — the TPU
+    analog of the reference's ``get_num_wave_pool_tokens``
+    (/root/reference/csrc/jit_kernels/heuristics/mega_moe.hpp:134-185), which
+    batches several ranks' token blocks into one MMA wave when tokens/expert
+    is small.
+
+    Here a pool of P slabs (P * cap rows) feeds ONE dot per weight tile, so
+    every expert's w1/w2 stream from HBM D/P times per step instead of D
+    times. At serving dims the kernel is weight-stream bound (the D=1 bound:
+    cap=128 rows amortize ~44 MB of expert weights), so the traffic cut is
+    the dominant term; the costs are VMEM (x/act/y rows scale with P, which
+    the tile pick re-budgets) and a deeper up-front dispatch wait (pool 0
+    computes only after slabs 0..P-1 land — ICI time the unpooled kernel
+    overlaps with slab-0 compute).
+
+    Policy: the largest power-of-two P <= min(D, 4) that divides D, keeps
+    the pooled dot height P * cap within one MXU-friendly pass (<= 1024
+    rows), and still fits the general-kernel VMEM budget at the tiles
+    ``pick_mega_tiles`` would choose for it. ``DGT_MEGA_POOL`` pins P for
+    A/B runs (validate chipless with scripts/aot_check.py first).
+    """
+    import os as _os
+    _ovr = _os.environ.get('DGT_MEGA_POOL')
+    if _ovr:
+        p = int(_ovr)
+        assert p >= 1 and num_devices % p == 0, (p, num_devices)
+        return p
+    # Feasibility budget calibrated by chipless AOT compiles at serving dims
+    # (H 7168, I 2048, cap 128): P=2 (est ~7.6 MiB) compiles, P=4 (est
+    # ~9.6 MiB) RESOURCE-EXHAUSTS — the Mosaic allocator overhead on this
+    # kernel is ~65%, not the ~40% the tile budget assumes.
+    budget = 9 * 1024 * 1024
+    for p in (4, 2):
+        if p > num_devices or num_devices % p or p * cap > 1024:
+            continue
+        bn1, bh2 = pick_mega_tiles(
+            hidden, inter, cap, xb=xb, wb=wb, scaled=scaled, gran_k=gran_k,
+            block_n=block_n, block_h=block_h, local=False, pool=p)
+        if _mega_vmem_bytes(bn1, bh2, hidden=hidden, inter=inter,
+                            rows=p * cap, xb=xb, wb=wb, scaled=scaled,
+                            gran_k=gran_k, local=False) <= budget:
+            return p
+    return 1
+
+
 def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
                    w1: jnp.ndarray = None, w2: jnp.ndarray = None,
                    axis_name: str = 'ep', *,
@@ -693,7 +814,7 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
                    block_n: int = 0, block_h: int = 0,
                    collective_id: int = 8, clamp: float = 256.0,
                    gran_k: int = 128, packed: MegaPackedWeights = None,
-                   force_general: bool = False) -> jnp.ndarray:
+                   force_general: bool = False, pool: int = 0) -> jnp.ndarray:
     """Fully-fused mega MoE forward (inside shard_map over ``axis_name``):
     EP dispatch + L1 GEMM + SwiGLU/topk-weight (+FP8 requant) + L2 GEMM +
     EP combine push, in ONE Pallas kernel — the TPU analog of the reference's
@@ -727,11 +848,16 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
     scaled = send_sf is not None
     if scaled:
         assert hidden % gran_k == 0 and inter % gran_k == 0, (hidden, inter)
+    local = num_devices == 1 and not force_general
     if packed is not None:
         # Load-time packed weights (pack_mega_weights): skip the per-call
         # repack — the in-loop transpose costs ~2x the weight bytes in HBM
         # traffic and measured 143 -> 61 TFLOPS at serving dims.
         bn1, bh2, gran_k = packed.bn1, packed.bh2, packed.gran_k
+        assert pool <= 0 or pool == packed.pool, \
+            (pool, packed.pool, 'tiles were budgeted at pack time for '
+             'packed.pool — repack to change the wave pool')
+        pool = packed.pool
         w1p, w1sf_t, w2sf_t = packed.w1p, packed.w1sf_t, packed.w2sf_t
         w2 = packed.w2
         assert w1p.shape[0] == e_local and w1p.shape[-1] == hidden, \
@@ -739,11 +865,16 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         assert scaled == (w1sf_t is not None), \
             'packed weights SF presence must match send_sf'
     else:
+        xb = jnp.dtype(send_x.dtype).itemsize
+        wb = jnp.dtype(w1.dtype).itemsize
+        if pool <= 0:
+            pool = 1 if local else pick_wave_pool(
+                num_devices, cap, hidden, inter, xb=xb, wb=wb, scaled=scaled,
+                gran_k=gran_k, block_n=block_n, block_h=block_h)
         bn1, bh2 = pick_mega_tiles(
-            hidden, inter, cap, xb=jnp.dtype(send_x.dtype).itemsize,
-            wb=jnp.dtype(w1.dtype).itemsize, scaled=scaled, gran_k=gran_k,
-            block_n=block_n, block_h=block_h,
-            local=num_devices == 1 and not force_general)
+            hidden, inter, cap, xb=xb, wb=wb, scaled=scaled, gran_k=gran_k,
+            block_n=block_n, block_h=block_h, local=local, pool=pool)
+    assert pool >= 1 and num_devices % pool == 0, (pool, num_devices)
     nt1, nt2 = inter // bn1, hidden // bh2
 
     if packed is None:
@@ -800,37 +931,45 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
     kernel = functools.partial(
         _mega_kernel, num_devices=num_devices, axis_name=axis_name,
         scaled=scaled, e_local=e_local, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
-        gran_k=gran_k, clamp=clamp)
+        pool=pool, cap=cap, gran_k=gran_k, clamp=clamp)
+    npool = num_devices // pool
+    # Pooled row-weight layout [npool, E_local, pool*cap, 1]: the P slabs of
+    # a pool land stacked in x_vmem, so their topk weights arrive as one
+    # (pool*cap, 1) column per (sp, e) block (a host-side relayout of the
+    # tiny scalar sideband, not of token payloads).
+    rwp = rw4.reshape(npool, pool, e_local, cap, 1) \
+        .transpose(0, 2, 1, 3, 4).reshape(npool, e_local, pool * cap, 1)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]          # send (HBM)
     inputs = [send_x]
     if scaled:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # send sf (HBM)
         inputs.append(send_sf)
-    in_specs.append(pl.BlockSpec((1, 1, cap, 1), lambda s, e, t: (s, e, 0, 0),
+    in_specs.append(pl.BlockSpec((1, 1, pool * cap, 1),
+                                 lambda sp, e, t: (sp, e, 0, 0),
                                  memory_space=pltpu.VMEM))     # row weights
-    inputs.append(rw4)
+    inputs.append(rwp)
     in_specs.append(pl.BlockSpec(
         (1, 1, 2 * bn1, hidden),
-        lambda s, e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
+        lambda sp, e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
         memory_space=pltpu.VMEM))                              # w1 paired tile
     inputs.append(w1p)
     if scaled:
         in_specs.append(pl.BlockSpec(
             (1, 1, ksf1, 2 * bn1),
-            lambda s, e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
+            lambda sp, e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
             memory_space=pltpu.VMEM))
         inputs.append(w1sf_t)
     in_specs.append(pl.BlockSpec(
         (1, bh2, inter),
-        lambda s, e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1), 0),
+        lambda sp, e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1), 0),
         memory_space=pltpu.VMEM))                              # w2
     inputs.append(w2)
     if scaled:
         ksf2 = inter // gran_k
         in_specs.append(pl.BlockSpec(
             (1, ksf2, bh2),
-            lambda s, e, t: (e, 0, jnp.clip(t - nt1, 0, nt2 - 1)),
+            lambda sp, e, t: (e, 0, jnp.clip(t - nt1, 0, nt2 - 1)),
             memory_space=pltpu.VMEM))
         inputs.append(w2sf_t)
 
@@ -844,17 +983,19 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
     out_shape.append(jax.ShapeDtypeStruct((d_dim, e_local, cap, hidden),
                                           jnp.bfloat16))       # y staging
     scratch = [
-        pltpu.VMEM((cap, hidden), send_x.dtype),               # x
+        pltpu.VMEM((pool * cap, hidden), send_x.dtype),        # x (pooled)
     ]
     if scaled:
-        scratch.append(pltpu.VMEM((cap, send_sf.shape[-1]), jnp.float32))
-    scratch.append(pltpu.VMEM((cap, inter),
+        scratch.append(pltpu.VMEM((pool * cap, send_sf.shape[-1]),
+                                  jnp.float32))
+    scratch.append(pltpu.VMEM((pool * cap, inter),
                               jnp.float8_e4m3fn if scaled else jnp.bfloat16))
     if scaled:
         # k-step-leading act scales (see the in-kernel store comment)
-        scratch.append(pltpu.VMEM((inter // gran_k, cap, 1), jnp.float32))
+        scratch.append(pltpu.VMEM((inter // gran_k, pool * cap, 1),
+                                  jnp.float32))
     scratch += [
-        pltpu.VMEM((2, cap, bh2), jnp.bfloat16),               # y tiles
+        pltpu.VMEM((2, pool * cap, bh2), jnp.bfloat16),        # y tiles
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA((2,)),                         # y tile copies
         pltpu.SemaphoreType.DMA((num_devices,)),
@@ -868,7 +1009,7 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
 
     res = pl.pallas_call(
         kernel,
-        grid=(num_devices, e_local, nt1 + nt2),
+        grid=(npool, e_local, nt1 + nt2),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..kernels.common import ici_entry_barrier
 from ..runtime.config import is_cpu_backend
 
 
@@ -30,6 +31,10 @@ def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, num_devices: int,
     """x_ref [D, rows, h]: chunk d goes to device d; o_ref [D, rows, h]:
     slot s holds the chunk received from device s."""
     my = jax.lax.axis_index(axis_name)
+
+    # Entry barrier before any one-sided push (the nvlink_barrier analog;
+    # also what licenses collective_id with Mosaic).
+    ici_entry_barrier(axis_name, num_devices)
 
     # Local chunk: plain VMEM copy (the reference's local-rank fast path).
     o_ref[pl.ds(my, 1)] = x_ref[pl.ds(my, 1)]
@@ -75,7 +80,10 @@ def _a2a_call(x, *, axis_name: str, num_devices: int, collective_id: int):
         scratch_shapes=[pltpu.SemaphoreType.DMA((num_devices,)),
                         pltpu.SemaphoreType.DMA((num_devices,))],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id),
+            has_side_effects=True,
+            # collective_id names the entry-barrier semaphore; Mosaic
+            # rejects it when no barrier is used (the D=1 no-peer case)
+            collective_id=collective_id if num_devices > 1 else None),
         interpret=interpret,
     )(x)
 

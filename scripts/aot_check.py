@@ -192,6 +192,41 @@ def main():
           lambda a, b: dg.tf32_hc_prenorm_gemm(a, b),
           S((128, 2048), jnp.bfloat16), S((192, 2048), jnp.float32))
 
+    # fused mega GENERAL kernel, D=4 over the chipless topology mesh — the
+    # only real-Mosaic validation of the multi-chip RDMA path (the CPU
+    # interpreter accepts lane-rule-violating DMA slices Mosaic rejects).
+    # Exercises the wave-pooled grid (pick_wave_pool auto-pick) at serving
+    # dims. NOTE: compiles SPMD for 4 devices without any chip.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as MP
+    from deepgemm_tpu.kernels.fused_moe import fused_mega_moe, pick_wave_pool
+    mesh = Mesh(np.array(TOPO.devices).reshape(4), ('ep',))
+    D = 4
+    pool = pick_wave_pool(D, cap, H, I, xb=1, wb=1, scaled=True)
+    print(f'      (mega wave pool at D=4: P={pool})', flush=True)
+
+    def MS(shape, dt, spec):
+        return ShapeDtypeStruct(shape, dt, sharding=NamedSharding(mesh, spec))
+
+    def mega_d4(send, sf, rw, w1, w1sf, w2, w2sf):
+        return jax.shard_map(
+            lambda s_, sf_, rw_, a, b, c, d_:
+                fused_mega_moe(s_, rw_, a, c, 'ep', send_sf=sf_,
+                               w1_sf=b, w2_sf=d_),
+            mesh=mesh, check_vma=False,
+            in_specs=(MP('ep'), MP('ep'), MP('ep'),
+                      MP(), MP(), MP(), MP()),
+            out_specs=MP('ep'))(send, sf, rw, w1, w1sf, w2, w2sf)
+
+    check('fused mega GENERAL D=4 (wave-pooled, serving dims, fp8)',
+          mega_d4,
+          MS((D * D, E, cap, H), f8, MP('ep')),
+          MS((D * D, E, cap, ksf1), jnp.float32, MP('ep')),
+          MS((D * D, E, cap), jnp.float32, MP('ep')),
+          MS((E, 2 * I, H), f8, MP()),
+          MS((E, (2 * I) // 128, ksf1), jnp.float32, MP()),
+          MS((E, H, I), f8, MP()),
+          MS((E, H // 128, ksf2), jnp.float32, MP()))
+
     if '--wide' in sys.argv:
         wide(dg)
 

@@ -536,3 +536,58 @@ def test_mega_chunk_heuristic_is_default(monkeypatch):
     assert_bitwise_equal(y_default, y_explicit)
 
 
+
+
+@pytest.mark.parametrize('pool', [1, 2, 4])
+def test_mega_fused_wave_pool_bitwise(pool, monkeypatch):
+    """Wave-pooled general kernel (pick_wave_pool / DGT_MEGA_POOL): pooling
+    P slabs' token rows into ONE dot per weight tile — the TPU analog of the
+    reference's wave pooling (get_num_wave_pool_tokens,
+    /root/reference/csrc/jit_kernels/heuristics/mega_moe.hpp:134-185), which
+    cuts expert-weight HBM streaming from D to D/P passes — must stay
+    BITWISE-equal to the unfused baseline: dot rows are independent and the
+    combine layout/reduction order is unchanged."""
+    monkeypatch.setenv('DGT_MEGA_POOL', str(pool))
+    num_devices = 4
+    mesh = make_mesh([('ep', num_devices)])
+    cfg = MoEConfig(num_experts=2 * num_devices, hidden=128,
+                    intermediate=128, topk=2, capacity_factor=8.0,
+                    use_fp8=False, use_kernels=True)
+    rng = np.random.RandomState(11)
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, 32 * num_devices, cfg)
+
+    def run(comm):
+        def fwd(x_l, idx_l, w_l, w1_l, w2_l):
+            if comm is None:
+                return ep_moe_forward(x_l, idx_l, w_l, w1_l, None, w2_l,
+                                      None, cfg)
+            return mega_moe_forward(x_l, idx_l, w_l, w1_l, None, w2_l, None,
+                                    cfg, comm=comm)
+        return shard_map(fwd, mesh=mesh, check_vma=False,
+                         in_specs=(P('ep'),) * 5,
+                         out_specs=(P('ep'), P('ep')))(
+                             x, topk_idx, topk_w, w1, w2)
+
+    y_ref, d_ref = run(None)
+    y_fused, d_fused = run('fused')
+    assert_bitwise_equal(d_fused, d_ref)
+    assert_bitwise_equal(y_fused, y_ref)
+
+
+def test_pick_wave_pool_contract(monkeypatch):
+    """pick_wave_pool invariants: P divides D, pooled dot height P*cap stays
+    <= 1024 rows, the pooled tile pick stays VMEM-feasible, and
+    DGT_MEGA_POOL pins the choice."""
+    from deepgemm_tpu.kernels.fused_moe import pick_wave_pool
+    monkeypatch.delenv('DGT_MEGA_POOL', raising=False)
+    # fp8 serving dims (H 7168, I 2048, cap 128): pooling should engage
+    p = pick_wave_pool(8, 128, 7168, 2048, xb=1, wb=1, scaled=True)
+    assert p in (2, 4) and 8 % p == 0, p
+    assert pick_wave_pool(2, 128, 7168, 2048, xb=1, wb=1,
+                          scaled=True) in (1, 2)
+    # non-power-of-two D: only divisors of D are legal pools
+    assert pick_wave_pool(3, 128, 7168, 2048, xb=1, wb=1, scaled=True) == 1
+    # dot-height cap: huge per-slab capacity forbids pooling
+    assert pick_wave_pool(8, 1024, 7168, 2048, xb=1, wb=1, scaled=True) == 1
+    monkeypatch.setenv('DGT_MEGA_POOL', '2')
+    assert pick_wave_pool(8, 128, 7168, 2048, xb=1, wb=1, scaled=True) == 2
