@@ -382,10 +382,56 @@ def main():
     t_mega = _device_time_of(
         loop_mega, (xqm, xsfm, rwm, packm), 'mega')
     flops_mega = ELm * (2 * capm * 2 * Im * Hm + 2 * capm * Hm * Im)
+
+    # Unfused A/B at identical dims — the reference's own fused-vs-legacy
+    # speedup metric (its mega test prints "Nx legacy"): the SAME
+    # pre-dispatched fp8 slabs through the unfused expert pipeline (masked
+    # grouped L1 -> XLA SwiGLU/topk-weight/FP8-requant -> masked grouped
+    # L2). Both legs use the Pallas kernels; the delta is the fusion itself
+    # (no activation HBM round-trips, no separate requant pass, one launch).
+    from deepgemm_tpu.parallel.moe import swiglu_apply_weight_to_fp8
+    sfb1m_t = _grouped_sfb_t(w1msf, ELm, 2 * Im, Hm, (128, 128),
+                             b_kmajor=True)
+    sfb2m_t = _grouped_sfb_t(w2msf, ELm, Hm, Im, (128, 128), b_kmajor=True)
+    fullm = jnp.full((ELm,), capm, jnp.int32)
+
+    def _unfused_mega(xq, sf, rws):
+        gu = m_grouped_gemm_masked(xq, w1mq, fullm, sfa=sf, sfb_t=sfb1m_t,
+                                   out_dtype=jnp.bfloat16, expected_m=capm)
+        aq2, asf2 = swiglu_apply_weight_to_fp8(gu, rws)
+        return m_grouped_gemm_masked(aq2, w2mq, fullm, sfa=asf2,
+                                     sfb_t=sfb2m_t, out_dtype=jnp.bfloat16,
+                                     expected_m=capm)
+
+    # one-time fairness guard: both legs compute the same MoE (up to the
+    # in-kernel vs host fp8 requant of the activations); diff ON DEVICE —
+    # never pull the big arrays through the relay
+    y_f = mega_fn(xqm, xsfm, rwm, packm)
+    y_u = jax.jit(_unfused_mega)(xqm[0], xsfm[0], rwm[0])
+
+    @jax.jit
+    def _dev_diff(x, y):
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
+        return 1.0 - 2.0 * jnp.vdot(x, y) / (jnp.vdot(x, x) + jnp.vdot(y, y))
+    dmega = float(_dev_diff(y_f[0], y_u))
+    assert dmega < 1e-3, dmega
+    del y_f, y_u
+
+    @jax.jit
+    def loop_unf(xs, ss, rws):
+        def body(i, acc):
+            y = _unfused_mega(xs[0], jnp.roll(ss, i, 2)[0], rws[0])
+            return acc + y[0, 0, i].astype(jnp.float32)
+        return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
+    t_unf = _device_time_of(loop_unf, (xqm, xsfm, rwm), 'mega_unfused')
+    tf_unf = flops_mega / t_unf / 1e12
+    ops['fp8_unfused_mega_moe_1chip'] = _emit(
+        'fp8_unfused_mega_moe_1chip', value=round(tf_unf, 1), unit='TFLOPS',
+        vs_baseline=round(tf_unf / BF16_PEAK, 3))
     ops['fp8_fused_mega_moe_1chip'] = _emit(
         'fp8_fused_mega_moe_1chip',
         value=round(flops_mega / t_mega / 1e12, 1), unit='TFLOPS',
-        vs_baseline=round(flops_mega / t_mega / 1e12 / BF16_PEAK, 3))
+        vs_baseline=round(t_unf / t_mega, 3))
 
     # ---- config 6: end-to-end serving decode step (tokens/s) ------------
     # One continuous-batching decode step for ALL slots in a single device

@@ -184,6 +184,32 @@ def main():
           S((E, nt1, ksf1, 2 * bn1), jnp.float32),
           S((E, H, I), f8), S((E, ksf2, H), jnp.float32))
 
+    # unfused mega A/B leg (bench.py fp8_unfused_mega_moe_1chip): masked
+    # grouped L1 -> SwiGLU/requant -> masked grouped L2 at the serving dims.
+    # Both masked calls are full-occupancy (max_m == cap == 128) so they
+    # reroute through the contiguous static kernel — new shape classes
+    # (1024x4096x7168 and 1024x7168x2048 in equal 128-row groups).
+    from deepgemm_tpu.kernels.grouped import m_grouped_gemm_masked
+    from deepgemm_tpu.parallel.moe import swiglu_apply_weight_to_fp8
+    Hm, Im, capm, Em = 7168, 2048, 128, 8
+
+    def unfused_mega(xq, xsf, rws, w1q, sfb1_t, w2q, sfb2_t):
+        fullm = jnp.full((Em,), capm, jnp.int32)
+        gu = m_grouped_gemm_masked(xq, w1q, fullm, sfa=xsf, sfb_t=sfb1_t,
+                                   out_dtype=jnp.bfloat16, expected_m=capm)
+        aq2, asf2 = swiglu_apply_weight_to_fp8(gu, rws)
+        return m_grouped_gemm_masked(aq2, w2q, fullm, sfa=asf2,
+                                     sfb_t=sfb2_t, out_dtype=jnp.bfloat16,
+                                     expected_m=capm)
+
+    check('unfused mega A/B pipeline (serving dims, fp8)', unfused_mega,
+          S((Em, capm, Hm), f8), S((Em, capm, Hm // 128), jnp.float32),
+          S((Em, capm), jnp.float32),
+          S((Em, 2 * Im, Hm), f8),
+          S((Em, Hm // 128, 2 * Im), jnp.float32),   # sfb_t: [G, ksf, n]
+          S((Em, Hm, Im), f8),
+          S((Em, Im // 128, Hm), jnp.float32))
+
     # HC prenorm, both branches
     check('hc_prenorm gk==1 direct write',
           lambda a, b: dg.tf32_hc_prenorm_gemm(a, b),
