@@ -201,16 +201,41 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
     return res[0], res[1]
 
 
-def _promote_dot(xq, wq, sfa_at, wsf, gran_k):
+def _decode_fp4_chunk(wp, c, gran_k):
+    """One gran_k-wide k-chunk of a planar-128-packed FP4 weight tile,
+    decoded to fp8 e4m3. Planar packing (utils/math.py:pack_fp4_planar)
+    stores each 256-code k-group as 128 bytes — codes [0,128) in the low
+    nibbles, [128,256) in the high — so chunk ``c`` (gran_k = 128) is a
+    STATIC 128-byte slice + a parity-selected nibble (c is a Python int in
+    the unrolled promote loop; no dynamic lane indexing). e2m1 values are
+    all exactly representable in e4m3, so the fp8 cast is EXACT and the
+    subsequent dot chain is bit-identical to the FP8 kernel fed pre-decoded
+    weights — the property the FP4-mega bitwise contract rests on
+    (reference: MmaKind::MXFP8FP4, impls/sm100_fp8_fp4_mega_moe.cuh:51-64)."""
+    assert gran_k == 128, gran_k
+    byte0 = (c // 2) * 128
+    b = wp[:, byte0:byte0 + 128].astype(jnp.int32)
+    code = (b >> (4 * (c % 2))) & 0xF
+    m = (code & 1).astype(jnp.float32)
+    e = ((code >> 1) & 3).astype(jnp.float32)
+    s = ((code >> 3) & 1).astype(jnp.float32)
+    mag = jnp.where(e == 0, 0.5 * m, (1 + 0.5 * m) * jnp.exp2(e - 1))
+    return jnp.where(s > 0, -mag, mag).astype(jnp.float8_e4m3fn)
+
+
+def _promote_dot(xq, wq, sfa_at, wsf, gran_k, w_fp4: bool = False):
     # Exact f32 promote over gran_k sub-blocks — same term ordering as
     # kernels/common.py:promote_block so results match the unfused
     # masked-kernel path bitwise when block_k covers k. ``sfa_at(c)``
-    # yields the chunk's per-row (cap, 1) scale column.
+    # yields the chunk's per-row (cap, 1) scale column. ``w_fp4``: wq is a
+    # planar-packed FP4 tile (k bytes halved); chunks decode to fp8 in-VPU.
     total = None
     for c in range(xq.shape[1] // gran_k):
+        w_chunk = (_decode_fp4_chunk(wq, c, gran_k) if w_fp4
+                   else wq[:, c * gran_k:(c + 1) * gran_k])
         p = jax.lax.dot_general(
             xq[:, c * gran_k:(c + 1) * gran_k],
-            wq[:, c * gran_k:(c + 1) * gran_k],
+            w_chunk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         term = (p * wsf[c:c + 1, :]) * sfa_at(c)
@@ -259,7 +284,7 @@ def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
 def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                  e_local: int, nt1: int, nt2: int, bn1: int, bh2: int,
                  pool: int, cap: int, gran_k: int = 128,
-                 clamp: float = 256.0):
+                 clamp: float = 256.0, w_fp4: bool = False):
     """Fully-fused mega MoE kernel body: phases 1-3 of the reference kernel
     (/root/reference/deep_gemm/include/deep_gemm/impls/sm100_fp8_fp4_mega_moe.cuh:
     dispatch :432-877, SwiGLU/requant epilogue :938-1132, L2 :1144-1233,
@@ -387,7 +412,7 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
         if scaled:
             gu = _promote_dot(x_vmem[:], w1_ref[0, 0],
                               lambda c: xsf_vmem[:, c:c + 1],
-                              w1sf_ref[0, 0], gran_k)
+                              w1sf_ref[0, 0], gran_k, w_fp4=w_fp4)
         else:
             gu = _plain_dot(x_vmem[:], w1_ref[0, 0])
         _l1_epilogue(gu, rw_ref[0, 0], act_vmem,
@@ -421,7 +446,7 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                     c.wait()
         if scaled:
             y = _promote_dot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
-                             w2sf_ref[0], gran_k)
+                             w2sf_ref[0], gran_k, w_fp4=w_fp4)
         else:
             y = _plain_dot(act_vmem[:], w2_ref[0])
         y_tile[pl.ds(slot, 1)] = y.astype(jnp.bfloat16)[None]
@@ -489,7 +514,7 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
 
 
 def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
-                       gran_k: int, clamp: float):
+                       gran_k: int, clamp: float, w_fp4: bool = False):
     """D=1 specialization of the mega kernel: no peers means no RDMA, no recv
     pool, no staging copies. x/xsf/rw/weights all arrive as prefetched
     BlockSpec tiles and y tiles write back through the output BlockSpec —
@@ -510,7 +535,7 @@ def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
         if scaled:
             gu = _promote_dot(x_ref[0], w1_ref[0, 0],
                               lambda c: xsf_ref[0][:, c:c + 1],
-                              w1sf_ref[0, 0], gran_k)
+                              w1sf_ref[0, 0], gran_k, w_fp4=w_fp4)
         else:
             gu = _plain_dot(x_ref[0], w1_ref[0, 0])
         _l1_epilogue(gu, rw_ref[0], act_vmem, actsf_vmem,
@@ -521,7 +546,7 @@ def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
     def _l2():
         if scaled:
             y = _promote_dot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
-                             w2sf_ref[0], gran_k)
+                             w2sf_ref[0], gran_k, w_fp4=w_fp4)
         else:
             y = _plain_dot(act_vmem[:], w2_ref[0])
         y_ref[0] = y.astype(jnp.bfloat16)
@@ -529,11 +554,13 @@ def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
 
 def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
                      inter, e_local, nt1, nt2, bn1, bh2, gran_k, clamp,
-                     scaled, interpret):
+                     scaled, interpret, w_fp4: bool = False):
     """Build + run the D=1 local mega kernel. Returns y [E_local, cap, H]."""
     kernel = functools.partial(
         _mega_kernel_local, scaled=scaled, nt1=nt1, nt2=nt2, bn1=bn1,
-        gran_k=gran_k, clamp=clamp)
+        gran_k=gran_k, clamp=clamp, w_fp4=w_fp4)
+    wk1 = hidden // 2 if w_fp4 else hidden     # w tile k bytes (planar FP4
+    wk2 = inter // 2 if w_fp4 else inter       # packs 2 codes per int8)
     in_specs = [pl.BlockSpec((1, cap, hidden), lambda e, t: (e, 0, 0),
                              memory_space=pltpu.VMEM)]         # x
     inputs = [x]
@@ -546,7 +573,7 @@ def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
                                  memory_space=pltpu.VMEM))      # row weights
     inputs.append(rw3)
     in_specs.append(pl.BlockSpec(
-        (1, 1, 2 * bn1, hidden),
+        (1, 1, 2 * bn1, wk1),
         lambda e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
         memory_space=pltpu.VMEM))                               # w1 paired
     inputs.append(w1p)
@@ -558,7 +585,7 @@ def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
             memory_space=pltpu.VMEM))
         inputs.append(w1sf_t)
     in_specs.append(pl.BlockSpec(
-        (1, bh2, inter),
+        (1, bh2, wk2),
         lambda e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1), 0),
         memory_space=pltpu.VMEM))                               # w2
     inputs.append(w2)
@@ -609,19 +636,43 @@ class MegaPackedWeights:
     bh2: int = dataclasses.field(metadata=dict(static=True), default=0)
     gran_k: int = dataclasses.field(metadata=dict(static=True), default=128)
     pool: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # Weights kept as planar-128-packed FP4 (int8, 2 e2m1 codes/byte; k dims
+    # halved) — decoded to fp8 per k-chunk INSIDE the kernel. Halves the
+    # expert-weight HBM footprint AND stream traffic (the reference mega's
+    # MmaKind::MXFP8FP4, impls/sm100_fp8_fp4_mega_moe.cuh:51-64).
+    w_fp4: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
                       w1_sf=None, w2_sf=None, *, cap: int,
                       x_dtype=jnp.float8_e4m3fn, num_devices: int = 1,
                       block_n: int = 0, block_h: int = 0,
-                      gran_k: int = 128) -> MegaPackedWeights:
+                      gran_k: int = 128,
+                      w_packed_fp4: bool = False) -> MegaPackedWeights:
     """Pack mega-MoE weights into the fused kernel's preferred layout ONCE
     (at load time). ``cap``/``x_dtype``/``num_devices`` must match the later
-    forward calls — they determine the VMEM-aware tile pick."""
-    e_local, two_i, hidden = w1.shape
-    inter = two_i // 2
-    assert w2.shape == (e_local, hidden, inter), (w2.shape,)
+    forward calls — they determine the VMEM-aware tile pick.
+
+    ``w_packed_fp4``: w1/w2 arrive as planar-128-packed FP4 codes
+    (int8 [E, 2I, H/2] / [E, H, I/2], utils/math.py:pack_fp4_planar) with
+    their per-block SF, and STAY packed in HBM — the kernel decodes each
+    k-chunk to fp8 in-VPU (exact: e2m1 ⊂ e4m3), halving the expert-weight
+    footprint and stream traffic. The per-arch default for whether serving
+    should use this lives in heuristics/arch.py:fp4_inkernel_profitable
+    (v5e: decode is VPU-bound, pre-decode to bf16/fp8 at load instead unless
+    HBM capacity forces FP4 residency)."""
+    if w_packed_fp4:
+        assert w1.dtype == jnp.int8 and w2.dtype == jnp.int8, \
+            (w1.dtype, w2.dtype)
+        assert w1_sf is not None, 'packed-FP4 mega weights require SF'
+        e_local, two_i, wk1 = w1.shape
+        hidden = wk1 * 2
+        inter = two_i // 2
+        assert w2.shape == (e_local, hidden, inter // 2), (w2.shape,)
+    else:
+        e_local, two_i, hidden = w1.shape
+        inter = two_i // 2
+        assert w2.shape == (e_local, hidden, inter), (w2.shape,)
     scaled = w1_sf is not None
     xb = jnp.dtype(x_dtype).itemsize
     wb = jnp.dtype(w1.dtype).itemsize
@@ -634,8 +685,11 @@ def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
         hidden, inter, cap, xb=xb, wb=wb, scaled=scaled, gran_k=gran_k,
         block_n=block_n, block_h=block_h, local=num_devices == 1, pool=pool)
     nt1 = inter // bn1
-    w1p = w1.reshape(e_local, 2, nt1, bn1, hidden) \
-        .transpose(0, 2, 1, 3, 4).reshape(e_local, nt1, 2 * bn1, hidden)
+    wk1 = hidden // 2 if w_packed_fp4 else hidden
+    # (packed FP4: the tile-pair repack permutes n-rows only; the planar k
+    # packing rides along untouched in the halved last dim)
+    w1p = w1.reshape(e_local, 2, nt1, bn1, wk1) \
+        .transpose(0, 2, 1, 3, 4).reshape(e_local, nt1, 2 * bn1, wk1)
     w1sf_t = w2sf_t = None
     if scaled:
         ksf1 = hidden // gran_k
@@ -648,7 +702,8 @@ def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
         w2sf_t = jnp.repeat(w2_sf.astype(jnp.float32), gran_k,
                             axis=1)[:, :hidden].transpose(0, 2, 1)
     return MegaPackedWeights(w1p=w1p, w2=w2, w1sf_t=w1sf_t, w2sf_t=w2sf_t,
-                             bn1=bn1, bh2=bh2, gran_k=gran_k, pool=pool)
+                             bn1=bn1, bh2=bh2, gran_k=gran_k, pool=pool,
+                             w_fp4=w_packed_fp4)
 
 
 def _mega_vmem_bytes(b1: int, b2: int, *, hidden: int, inter: int,
@@ -837,9 +892,12 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
     num_devices = int(jax.lax.psum(1, axis_name))
     d_dim, e_local, cap, hidden = send_x.shape
     assert d_dim == num_devices, (send_x.shape, num_devices)
+    w_fp4 = packed is not None and packed.w_fp4
     if packed is not None:
-        inter = packed.w2.shape[-1]
+        inter = packed.w2.shape[-1] * (2 if w_fp4 else 1)
         two_i = 2 * inter
+        if w_fp4:
+            assert send_sf is not None, 'FP4 mega weights require scaling'
     else:
         two_i = w1.shape[1]
         inter = two_i // 2
@@ -860,8 +918,9 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         pool = packed.pool
         w1p, w1sf_t, w2sf_t = packed.w1p, packed.w1sf_t, packed.w2sf_t
         w2 = packed.w2
-        assert w1p.shape[0] == e_local and w1p.shape[-1] == hidden, \
-            (w1p.shape, e_local, hidden)
+        assert w1p.shape[0] == e_local \
+            and w1p.shape[-1] == (hidden // 2 if w_fp4 else hidden), \
+            (w1p.shape, e_local, hidden, w_fp4)
         assert scaled == (w1sf_t is not None), \
             'packed weights SF presence must match send_sf'
     else:
@@ -926,12 +985,12 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
             w1p, w1sf_t, w2, w2sf_t,
             cap=cap, hidden=hidden, inter=inter, e_local=e_local,
             nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2, gran_k=gran_k, clamp=clamp,
-            scaled=scaled, interpret=interpret)[None]
+            scaled=scaled, interpret=interpret, w_fp4=w_fp4)[None]
 
     kernel = functools.partial(
         _mega_kernel, num_devices=num_devices, axis_name=axis_name,
         scaled=scaled, e_local=e_local, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
-        pool=pool, cap=cap, gran_k=gran_k, clamp=clamp)
+        pool=pool, cap=cap, gran_k=gran_k, clamp=clamp, w_fp4=w_fp4)
     npool = num_devices // pool
     # Pooled row-weight layout [npool, E_local, pool*cap, 1]: the P slabs of
     # a pool land stacked in x_vmem, so their topk weights arrive as one
@@ -950,7 +1009,7 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
                                  memory_space=pltpu.VMEM))     # row weights
     inputs.append(rwp)
     in_specs.append(pl.BlockSpec(
-        (1, 1, 2 * bn1, hidden),
+        (1, 1, 2 * bn1, hidden // 2 if w_fp4 else hidden),
         lambda sp, e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
         memory_space=pltpu.VMEM))                              # w1 paired tile
     inputs.append(w1p)
@@ -961,7 +1020,7 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
             memory_space=pltpu.VMEM))
         inputs.append(w1sf_t)
     in_specs.append(pl.BlockSpec(
-        (1, bh2, inter),
+        (1, bh2, inter // 2 if w_fp4 else inter),
         lambda sp, e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1), 0),
         memory_space=pltpu.VMEM))                              # w2
     inputs.append(w2)

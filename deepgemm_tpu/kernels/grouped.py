@@ -56,6 +56,15 @@ class GroupedGemmSpec:
     # WITHOUT scalar-prefetch operands (prefetch-dependent index maps carry
     # measurable per-step overhead — the align-128 gap, CLAUDE.md).
     static_tpg: Optional[int] = None   # m-tiles per group
+    # Static UNEVEN-group fast path (contiguous only): host-concrete layout
+    # whose group starts are all block_m-aligned but NOT equal-sized (the
+    # align-128 serving layouts). The per-m-tile group id is then a pure
+    # compare-chain over the host-constant group-boundary TILE indices:
+    # gid(i) = sum_g [i >= tile_starts[g]] — index arithmetic, so the kernel
+    # builds WITHOUT scalar-prefetch operands (the prefetch machinery itself
+    # measured ~4 TFLOPS at the bench shape: 175.0 static vs 170.4 forced-
+    # prefetch, same kernel/tiles — VERDICT r3 #4 / scheduler/gemm.cuh:160).
+    static_tile_starts: Optional[tuple] = None  # boundary tile idx, g=1..G-1
     # Masked only: drop the per-m-tile early-exit predicate. Legal for ANY
     # masked_m (rows >= masked_m[g] are "not meaningful" per the contract —
     # the predicate only SKIPS work, never changes meaningful rows); chosen
@@ -73,13 +82,23 @@ def _build_contiguous(spec: GroupedGemmSpec):
     has_k_tail = (k % bk) != 0
     n_sf_a, n_sf_b = ceil_div(k, spec.gran_k_a), ceil_div(k, spec.gran_k_b)
     tpg = spec.static_tpg
-    n_pf = 0 if tpg else 2
+    tstarts = spec.static_tile_starts
+    n_pf = 0 if (tpg or tstarts is not None) else 2
 
     # Scalar-prefetch operands (dynamic path): gids[gm] (group per m-tile,
     # clamped >= 0) and row_ends[gm] (first invalid row for the tile's
-    # group; m if none). Static path: gid = i // tpg, no prefetch operands.
+    # group; m if none). Static paths: gid = i // tpg (equal groups) or the
+    # boundary compare-chain (uneven groups) — no prefetch operands.
     def _gid(i, pf):
-        return i // tpg if tpg else pf[0][i]
+        if tpg:
+            return i // tpg
+        if tstarts is not None:
+            g = None
+            for ts in tstarts:
+                term = jnp.where(i >= ts, 1, 0)
+                g = term if g is None else g + term
+            return 0 if g is None else g
+        return pf[0][i]
 
     in_specs = [
         pl.BlockSpec((bm, bk), lambda i, j, s, *pf: (i, s),
@@ -106,7 +125,7 @@ def _build_contiguous(spec: GroupedGemmSpec):
 
     def kernel(*all_refs):
         pf_refs, refs = all_refs[:n_pf], all_refs[n_pf:]
-        ends_ref = None if tpg else pf_refs[1]
+        ends_ref = pf_refs[1] if n_pf else None
         a_ref, b_ref = refs[0], refs[1]
         if gk == 1:
             d_ref, acc_ref = refs[-1], None
@@ -133,7 +152,7 @@ def _build_contiguous(spec: GroupedGemmSpec):
             part = dot_mn(a_blk, b_blk, True, spec.b_kmajor)
 
         def _epilogue(res):
-            if spec.zero_padded_rows and not tpg:
+            if spec.zero_padded_rows and n_pf:
                 # psum-layout `ensure_zero_padding`: zero d rows past the
                 # group's end (/root/reference/tests/test_fp8_fp4.py:22-30).
                 # Static path: groups are exactly full, nothing to zero.
@@ -383,16 +402,47 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
             if lay.shape == want.shape and bool(_np.all(lay == want)):
                 static_tpg = mpg // cfg.block_m
 
+    # Static UNEVEN-group path (VERDICT r3 #4): host-concrete layout, all
+    # group starts block_m-aligned — gid is a compare-chain over the
+    # host-constant boundary tile indices (see GroupedGemmSpec). Not taken
+    # with ensure_zero_padding (the zero epilogue needs per-tile row ends,
+    # which stay on the prefetch path).
+    static_starts = None
+    if (static_tpg is None and not ensure_zero_padding
+            and not isinstance(grouped_layout, jax.core.Tracer)
+            and not _os.environ.get('DGT_GROUPED_FORCE_PREFETCH')):
+        import numpy as _np
+        lay = _np.asarray(grouped_layout).astype(_np.int64)
+        if use_psum_layout:
+            prev = _np.concatenate([[0], lay[:-1]])
+            starts = (prev + mk_alignment - 1) // mk_alignment * mk_alignment
+            monotone = bool(_np.all(_np.diff(lay) >= 0))
+        else:
+            valid = lay >= 0
+            monotone = bool(_np.all(_np.diff(lay[valid]) >= 0))
+            # first-occurrence row per group; absent groups back-fill from
+            # the next present one (zero tiles — same contract either way)
+            starts = _np.full((num_groups,), m, _np.int64)
+            for g in range(num_groups - 1, -1, -1):
+                occ = _np.nonzero(lay == g)[0]
+                if occ.size:
+                    starts[g] = occ[0]
+                elif g + 1 < num_groups:
+                    starts[g] = starts[g + 1]
+        starts[0] = 0
+        if monotone and bool(_np.all(starts % cfg.block_m == 0)):
+            static_starts = tuple(int(s) // cfg.block_m for s in starts[1:])
+
     spec = GroupedGemmSpec(
         kind='contiguous', num_groups=num_groups, m=m, n=n, k=k,
         b_kmajor=b_kmajor, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
         out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b,
         zero_padded_rows=ensure_zero_padding, cfg=cfg,
-        static_tpg=static_tpg)
+        static_tpg=static_tpg, static_tile_starts=static_starts)
     fn = kernel_cache().get_or_build(spec, lambda: _build_contiguous(spec))
 
-    if static_tpg is not None:
+    if static_tpg is not None or static_starts is not None:
         args = [a, b]
     else:
         gids, row_ends = compute_tile_gids(grouped_layout, num_groups, m,

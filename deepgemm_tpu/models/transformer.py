@@ -43,7 +43,9 @@ class ModelConfig:
     mega_chunks: Optional[int] = None  # None = heuristics/mega.py policy
     mega_comm: str = 'xla'         # 'xla' | 'pallas' (RDMA a2a) | 'fused'
     # FP8 TRAINING: attention projections through the differentiable fp8
-    # matmul (custom VJP: fp8 fwd/dgrad, FP32-accumulate wgrad)
+    # matmul (custom VJP: fp8 fwd/dgrad, FP32-accumulate wgrad); with
+    # use_kernels also routes the MoE expert GEMMs through the grouped
+    # autograd op (fp8 grouped fwd/dgrad + k-grouped FP32-accumulate wgrad)
     use_fp8_training: bool = False
 
     @property
@@ -54,7 +56,9 @@ class ModelConfig:
         return MoEConfig(num_experts=self.num_experts, hidden=self.hidden,
                          intermediate=self.moe_intermediate, topk=self.topk,
                          capacity_factor=self.capacity_factor,
-                         use_fp8=self.use_fp8, use_kernels=self.use_kernels)
+                         use_fp8=self.use_fp8, use_kernels=self.use_kernels,
+                         fp8_training=(self.use_fp8_training
+                                       and self.use_kernels))
 
 
 def init_params(cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
@@ -147,7 +151,10 @@ def moe_block(x, layer, cfg: ModelConfig, mesh: Optional[Mesh]):
 
     def fwd(tok, idx, ww, w1, w2):
         w1_sf = w2_sf = None
-        if moe_cfg.use_fp8 and moe_cfg.use_kernels:
+        if moe_cfg.use_fp8 and moe_cfg.use_kernels \
+                and not moe_cfg.fp8_training:
+            # (fp8_training quantizes inside the autograd op instead —
+            # weights must stay bf16 leaves so dw flows back to them)
             # FP8 serving path: per-expert 128x128-block weight quantization
             # feeding the scaled grouped kernels. (A serving stack would
             # pre-quantize once; doing it in-graph keeps this module pure.)

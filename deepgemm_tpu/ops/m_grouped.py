@@ -71,9 +71,18 @@ def _grouped_sfb_t(sfb, num_groups: int, n: int, k: int,
     ksf = ceil_div(k, gran_k)
     nsf = n if gran_mn == 1 else ceil_div(n, gran_mn)
     if sfb.dtype == jnp.int32:
-        sfb = unpack_ue8m0_from_int(sfb)[..., :ksf] if b_kmajor else sfb
-        if not b_kmajor:
-            raise NotImplementedError('packed SF with MN-major B')
+        if b_kmajor:
+            sfb = unpack_ue8m0_from_int(sfb)[..., :ksf]
+        else:
+            # MN-major B: packed SF arrives [G, ceil(ksf/4), nsf] — k packed
+            # along the LEADING SF dim (same convention as the dense path's
+            # _maybe_unpack(k_last=False), ops/sf_layout.py:41-48, mirroring
+            # the reference recipe engine's per-major handling,
+            # /root/reference/csrc/apis/layout.hpp:14-61). Swap so the byte
+            # view unpacks along k, then swap back.
+            sfb = jnp.swapaxes(
+                unpack_ue8m0_from_int(jnp.swapaxes(sfb, -1, -2))[..., :ksf],
+                -1, -2)
     sfb = sfb.astype(jnp.float32)
     if b_kmajor:
         assert sfb.shape == (num_groups, nsf, ksf), sfb.shape

@@ -44,6 +44,11 @@ class MoEConfig:
     # Use the Pallas grouped kernels (inference). The pure-XLA path is
     # differentiable and used for training steps.
     use_kernels: bool = True
+    # FP8 training: route the expert GEMMs through the differentiable
+    # grouped autograd op (ops/autograd.py fp8_grouped_matmul — forward FP8
+    # grouped GEMM, wgrad = the k-grouped FP32-accumulate kernel), instead
+    # of the inference-only masked kernels or the plain-XLA einsum.
+    fp8_training: bool = False
 
 
 def swiglu_apply_weight(gate_up: jnp.ndarray, row_weights: jnp.ndarray,
@@ -190,6 +195,22 @@ def _expert_gemm(a_bf16: jnp.ndarray, w, w_sf, cfg: MoEConfig,
     """
     e_local, rows, k_dim = a_bf16.shape
     if w_sf is None:
+        if cfg.fp8_training:
+            # Differentiable FP8 kernel path (training): the contiguous
+            # grouped autograd op — forward = FP8 grouped GEMM, dgrad =
+            # grouped NT against w^T, wgrad = the k-grouped FP32-accumulate
+            # kernel (ops/autograd.py; the reference's wgrad contract,
+            # /root/reference/csrc/apis/gemm.hpp:328-390). Equal groups of
+            # ``rows`` form the contiguous layout; the wgrad SF compaction
+            # needs 128-aligned group starts.
+            from ..ops.autograd import fp8_grouped_matmul
+            assert rows % 128 == 0, \
+                (rows, 'fp8_training needs 128-aligned per-expert row '
+                 'blocks (pick capacity so ep * cap % 128 == 0)')
+            ids = jnp.repeat(jnp.arange(e_local, dtype=jnp.int32), rows)
+            out = fp8_grouped_matmul(
+                a_bf16.reshape(e_local * rows, k_dim), w, ids)
+            return out.reshape(e_local, rows, -1).astype(jnp.bfloat16)
         if cfg.use_kernels:
             full = jnp.full((e_local,), rows, dtype=jnp.int32)
             return m_grouped_gemm_masked(a_bf16, w, full, out_dtype=jnp.bfloat16,

