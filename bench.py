@@ -294,14 +294,18 @@ def main():
                                  b_kmajor=True)
         fullm = jnp.full((ELm,), capm, jnp.int32)
 
-        def _unfused_mega(xq, sf, rws):
-            gu = m_grouped_gemm_masked(xq, w1mq, fullm, sfa=sf,
-                                       sfb_t=sfb1m_t,
+        # Big arrays (weights/SFs) MUST be jit ARGUMENTS, never closures:
+        # jax embeds closed-over device arrays into the StableHLO as
+        # literals, and the relay rejects the resulting ~350MB compile
+        # body (HTTP 413) — the round-4 bench-timeout root cause.
+        def _unfused_mega(xq, sf, rws, w1q, sfb1_t, w2q, sfb2_t):
+            gu = m_grouped_gemm_masked(xq, w1q, fullm, sfa=sf,
+                                       sfb_t=sfb1_t,
                                        out_dtype=jnp.bfloat16,
                                        expected_m=capm)
             aq2, asf2 = swiglu_apply_weight_to_fp8(gu, rws)
-            return m_grouped_gemm_masked(aq2, w2mq, fullm, sfa=asf2,
-                                         sfb_t=sfb2m_t,
+            return m_grouped_gemm_masked(aq2, w2q, fullm, sfa=asf2,
+                                         sfb_t=sfb2_t,
                                          out_dtype=jnp.bfloat16,
                                          expected_m=capm)
 
@@ -309,7 +313,8 @@ def main():
         # in-kernel vs host fp8 requant of the activations); diff ON DEVICE —
         # never pull the big arrays through the relay
         y_f = mega_fn(xqm, xsfm, rwm, packm)
-        y_u = jax.jit(_unfused_mega)(xqm[0], xsfm[0], rwm[0])
+        y_u = jax.jit(_unfused_mega)(xqm[0], xsfm[0], rwm[0],
+                                     w1mq, sfb1m_t, w2mq, sfb2m_t)
 
         @jax.jit
         def _dev_diff(x, y):
@@ -321,12 +326,15 @@ def main():
         del y_f, y_u
 
         @jax.jit
-        def loop_unf(xs, ss, rws):
+        def loop_unf(xs, ss, rws, w1q, sfb1_t, w2q, sfb2_t):
             def body(i, acc):
-                y = _unfused_mega(xs[0], jnp.roll(ss, i, 2)[0], rws[0])
+                y = _unfused_mega(xs[0], jnp.roll(ss, i, 2)[0], rws[0],
+                                  w1q, sfb1_t, w2q, sfb2_t)
                 return acc + y[0, 0, i].astype(jnp.float32)
             return jax.lax.fori_loop(0, N_ITERS, body, 0.0)
-        t_unf = _device_time_of(loop_unf, (xqm, xsfm, rwm), 'mega_unfused')
+        t_unf = _device_time_of(
+            loop_unf, (xqm, xsfm, rwm, w1mq, sfb1m_t, w2mq, sfb2m_t),
+            'mega_unfused')
         tf_unf = flops_mega / t_unf / 1e12
         B.emit_op('fp8_unfused_mega_moe_1chip', round(tf_unf, 1), 'TFLOPS',
                   round(tf_unf / BF16_PEAK, 3))
@@ -369,11 +377,14 @@ def main():
                          -448, 448).astype(jnp.float8_e4m3fn)
         isn_s = jnp.asarray(rng.rand(Bs).astype(np.float32))
 
-        def _serve_step(iw, kernels: bool):
-            kp2 = kp_s.at[pages_s, offs_s].set(kn_s)
-            vp2 = vp_s.at[pages_s, offs_s].set(vn_s)
-            ik2 = ikp_s.at[pages_s, offs_s].set(ikn_s)
-            is2 = isfp_s.at[pages_s, offs_s].set(isn_s)
+        # Cache pages ride as jit ARGUMENTS (kp/vp are ~537MB each): closed
+        # over, they'd be embedded in the compile body -> relay HTTP 413 /
+        # broken pipe (the round-4 serving-leg failure root cause).
+        def _serve_step(iw, kp, vp, ikp, isf, kernels: bool):
+            kp2 = kp.at[pages_s, offs_s].set(kn_s)
+            vp2 = vp.at[pages_s, offs_s].set(vn_s)
+            ik2 = ikp.at[pages_s, offs_s].set(ikn_s)
+            is2 = isf.at[pages_s, offs_s].set(isn_s)
             if kernels:
                 out = indexer_sparse_decode(
                     q_s[:, None], (kp2, vp2), (ik2, is2), iq_s[:, None], iw,
@@ -407,14 +418,19 @@ def main():
                     + vp2[0, 0, 0, 0].astype(jnp.float32)
                     + ik2[0, 0, 0].astype(jnp.float32) + is2[0, 0])
 
-        loop_sv = _loop(lambda i, iw: _serve_step(jnp.roll(iw, i, 0), True))
-        loop_sx = _loop(lambda i, iw: _serve_step(jnp.roll(iw, i, 0), False))
+        loop_sv = _loop(lambda i, iw, kp, vp, ikp, isf:
+                        _serve_step(jnp.roll(iw, i, 0), kp, vp, ikp, isf,
+                                    True))
+        loop_sx = _loop(lambda i, iw, kp, vp, ikp, isf:
+                        _serve_step(jnp.roll(iw, i, 0), kp, vp, ikp, isf,
+                                    False))
+        sargs = (iw_s, kp_s, vp_s, ikp_s, isfp_s)
         # Kernel path FIRST and emitted even if the (very slow to compile)
         # plain-JAX baseline leg dies — a flagship tokens/s number with
         # vs_baseline=0.0 beats losing the whole leg to a relay hiccup.
-        t_sv = _device_time_of(loop_sv, (iw_s,), 'serving')
+        t_sv = _device_time_of(loop_sv, sargs, 'serving')
         try:
-            t_sx = _device_time_of(loop_sx, (iw_s,), 'serving_xla')
+            t_sx = _device_time_of(loop_sx, sargs, 'serving_xla')
             ratio = round(t_sx / t_sv, 3)
         except Exception as e:                        # noqa: BLE001
             print(f'[bench] serving XLA baseline failed: {e}',
@@ -634,12 +650,12 @@ def main():
         qp = jnp.clip(jnp.asarray(rng.randn(Bp, nn2, h2, d2), jnp.float32),
                       -448, 448).astype(jnp.float8_e4m3fn)
         wp = jnp.asarray(rng.randn(Bp * nn2, h2).astype(np.float32))
-        loop_pg = _loop(lambda i, q_, w_:
+        loop_pg = _loop(lambda i, q_, w_, kv_, ks_:
                         dg.fp8_fp4_paged_mqa_logits(
-                            (jnp.roll(q_, i, 0), None), (kvq, kvs), w_, ctx,
+                            (jnp.roll(q_, i, 0), None), (kv_, ks_), w_, ctx,
                             btab, max_context_len=mml)[0, 0]
                         .astype(jnp.float32))
-        t_pg = _device_time_of(loop_pg, (qp, wp), 'paged')
+        t_pg = _device_time_of(loop_pg, (qp, wp, kvq, kvs), 'paged')
         cache_bytes = Bp * mml * d2                    # fp8 values once
         gbps = cache_bytes / t_pg / 1e9
         B.emit_op('fp8_paged_mqa_decode', round(gbps, 1), 'GB/s_effective',
@@ -648,12 +664,12 @@ def main():
         # zero-copy strategy: cache pages stay in place (no second full-size
         # buffer), manual pipelined in-kernel DMAs; bitwise-equal to the
         # gather number above.
-        loop_pz = _loop(lambda i, q_, w_:
+        loop_pz = _loop(lambda i, q_, w_, kv_, ks_:
                         dg.fp8_fp4_paged_mqa_logits(
-                            (jnp.roll(q_, i, 0), None), (kvq, kvs), w_, ctx,
+                            (jnp.roll(q_, i, 0), None), (kv_, ks_), w_, ctx,
                             btab, max_context_len=mml,
                             strategy='paged')[0, 0].astype(jnp.float32))
-        t_pz = _device_time_of(loop_pz, (qp, wp), 'paged_zc')
+        t_pz = _device_time_of(loop_pz, (qp, wp, kvq, kvs), 'paged_zc')
         gbps_z = cache_bytes / t_pz / 1e9
         B.emit_op('fp8_paged_mqa_decode_zerocopy', round(gbps_z, 1),
                   'GB/s_effective', round(gbps_z / HBM_GBPS, 3))

@@ -250,7 +250,11 @@ def mega_moe_forward(x: jnp.ndarray, topk_idx: jnp.ndarray,
         my = jax.lax.axis_index(axis_name)
         rw = jax.lax.all_to_all(send_w, axis_name, 0, 0, tiled=False)
         rw_steps = jnp.take(rw, jnp.mod(my - jnp.arange(ep), ep), axis=0)
-        if w1_sf is not None:
+        # Scaled decision must see load-time-packed weights too (FP8 or
+        # packed-FP4 via pack_mega_weights): their SF lives in the pack.
+        scaled_fused = w1_sf is not None or (
+            packed_weights is not None and packed_weights.w1sf_t is not None)
+        if scaled_fused:
             from ..utils.math import per_token_cast_to_fp8
             xq, xsf = per_token_cast_to_fp8(x, use_ue8m0=False)
             ksf = xsf.shape[-1]
