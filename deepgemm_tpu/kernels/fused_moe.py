@@ -529,16 +529,22 @@ def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
         actsf_vmem = None
     t = pl.program_id(1)
 
+    # x / xsf / rw / y ride DENSE-STYLE 2D blocks over [E*cap, .] arrays
+    # (the expert id folds into the m-tile index): the full-occupancy-
+    # reroute lesson — leading-1 3D blocks carry the same Mosaic machinery
+    # cost as scalar prefetch (masked 171.1 vs contiguous-static 175.0 at
+    # the bench shape). Weight tiles keep their leading-1 blocks (as in the
+    # contiguous kernel, where they are free).
     @pl.when(t < nt1)
     def _l1():
         col0 = jnp.minimum(t, nt1 - 1) * bn1
         if scaled:
-            gu = _promote_dot(x_ref[0], w1_ref[0, 0],
-                              lambda c: xsf_ref[0][:, c:c + 1],
+            gu = _promote_dot(x_ref[:], w1_ref[0, 0],
+                              lambda c: xsf_ref[:, c:c + 1],
                               w1sf_ref[0, 0], gran_k, w_fp4=w_fp4)
         else:
-            gu = _plain_dot(x_ref[0], w1_ref[0, 0])
-        _l1_epilogue(gu, rw_ref[0], act_vmem, actsf_vmem,
+            gu = _plain_dot(x_ref[:], w1_ref[0, 0])
+        _l1_epilogue(gu, rw_ref[:], act_vmem, actsf_vmem,
                      bn1=bn1, col0=col0, scaled=scaled, gran_k=gran_k,
                      clamp=clamp)
 
@@ -549,7 +555,7 @@ def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
                              w2sf_ref[0], gran_k, w_fp4=w_fp4)
         else:
             y = _plain_dot(act_vmem[:], w2_ref[0])
-        y_ref[0] = y.astype(jnp.bfloat16)
+        y_ref[:] = y.astype(jnp.bfloat16)
 
 
 def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
@@ -561,17 +567,19 @@ def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
         gran_k=gran_k, clamp=clamp, w_fp4=w_fp4)
     wk1 = hidden // 2 if w_fp4 else hidden     # w tile k bytes (planar FP4
     wk2 = inter // 2 if w_fp4 else inter       # packs 2 codes per int8)
-    in_specs = [pl.BlockSpec((1, cap, hidden), lambda e, t: (e, 0, 0),
+    # x/xsf/rw/y as flat [E*cap, .] arrays with dense-style 2D blocks (see
+    # the kernel docstring note); row block e = expert e's cap rows.
+    in_specs = [pl.BlockSpec((cap, hidden), lambda e, t: (e, 0),
                              memory_space=pltpu.VMEM)]         # x
-    inputs = [x]
+    inputs = [x.reshape(e_local * cap, hidden)]
     if scaled:
-        in_specs.append(pl.BlockSpec((1, cap, xsf.shape[-1]),
-                                     lambda e, t: (e, 0, 0),
+        in_specs.append(pl.BlockSpec((cap, xsf.shape[-1]),
+                                     lambda e, t: (e, 0),
                                      memory_space=pltpu.VMEM))  # x scales
-        inputs.append(xsf)
-    in_specs.append(pl.BlockSpec((1, cap, 1), lambda e, t: (e, 0, 0),
+        inputs.append(xsf.reshape(e_local * cap, xsf.shape[-1]))
+    in_specs.append(pl.BlockSpec((cap, 1), lambda e, t: (e, 0),
                                  memory_space=pltpu.VMEM))      # row weights
-    inputs.append(rw3)
+    inputs.append(rw3.reshape(e_local * cap, 1))
     in_specs.append(pl.BlockSpec(
         (1, 1, 2 * bn1, wk1),
         lambda e, t: (e, jnp.minimum(t, nt1 - 1), 0, 0),
@@ -597,24 +605,26 @@ def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
             memory_space=pltpu.VMEM))
         inputs.append(w2sf_t)
     out_spec = pl.BlockSpec(
-        (1, cap, bh2), lambda e, t: (e, 0, jnp.clip(t - nt1, 0, nt2 - 1)),
+        (cap, bh2), lambda e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1)),
         memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((cap, inter),
                           jnp.float8_e4m3fn if scaled else jnp.bfloat16)]
     if scaled:
         scratch.append(pltpu.VMEM((inter // gran_k, cap, 1), jnp.float32))
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid=(e_local, nt1 + nt2),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((e_local, cap, hidden), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((e_local * cap, hidden),
+                                       jnp.bfloat16),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary'),
         ),
         interpret=interpret,
     )(*inputs)
+    return y.reshape(e_local, cap, hidden)
 
 
 @jax.tree_util.register_dataclass

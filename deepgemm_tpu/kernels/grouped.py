@@ -71,6 +71,17 @@ class GroupedGemmSpec:
     # when the caller's expected_m hint says tiles are ~always active, where
     # the predicate saves nothing but sits in Mosaic's pipeline.
     no_early_exit: bool = False
+    # Masked only: LOW-occupancy variant — masked_m becomes a scalar-
+    # prefetch operand and the a/b/SF index maps CLAMP inactive m-tiles'
+    # block indices to a constant, so Mosaic's revisit-dedup skips their
+    # DMAs. The plain early-exit only skips the MXU body; the operand
+    # streaming still runs for every grid step, and B traffic dominates the
+    # decode regime (measured: expected_m = max_m/4 at the bench shape read
+    # 23 TFLOPS effective — the full-B-restream bound — vs the XLA full-
+    # batch einsum's 43). The reference's masked scheduler skips whole
+    # blocks the same way (scheduler/gemm.cuh:200-216). Correct for ANY
+    # masked_m; chosen on the expected_m hint only.
+    pf_skip: bool = False
 
 
 def _build_contiguous(spec: GroupedGemmSpec):
@@ -204,29 +215,69 @@ def _build_masked(spec: GroupedGemmSpec):
     has_k_tail = (k % bk) != 0
     n_sf_a, n_sf_b = ceil_div(k, spec.gran_k_a), ceil_div(k, spec.gran_k_b)
 
-    # masked_m rides as a plain SMEM operand, NOT scalar prefetch: no index
-    # map consumes it (only the in-body early-exit predicate does), and
-    # prefetch-free grid specs keep Mosaic's pipeline statically analyzable
-    # (the same machinery finding as the contiguous/k-grouped static paths).
-    in_specs = [
-        pl.BlockSpec((g,), lambda e, i, j, s: (0,),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, bm, bk), lambda e, i, j, s: (e, i, s),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn, bk), lambda e, i, j, s: (e, j, s),
-                     memory_space=pltpu.VMEM),
-    ]
-    nsub_a, nsub_b = bk // spec.gran_k_a, bk // spec.gran_k_b
-    if spec.is_scaled:
-        # stepped SFs: sfa [gk, G, max_m, nsub_a], sfb [gk, G, nsub_b, n]
-        in_specs.append(pl.BlockSpec((1, 1, bm, nsub_a),
-                                     lambda e, i, j, s: (s, e, i, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, nsub_b, bn),
-                                     lambda e, i, j, s: (s, e, 0, j),
-                                     memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, bm, bn), lambda e, i, j, s: (e, i, j),
-                            memory_space=pltpu.VMEM)
+    if spec.pf_skip:
+        # LOW-occupancy variant (see the spec field): masked_m is a scalar-
+        # prefetch operand; inactive m-tiles' operand index maps clamp to a
+        # constant so consecutive inactive steps re-use the resident block
+        # (Mosaic only issues a DMA when the computed block index CHANGES).
+        # The out map stays honest — inactive out blocks receive stale
+        # buffer contents, which the masked contract allows (rows >=
+        # masked_m[g] are never meaningful).
+        def _act(e, i, mref):
+            return i * bm < mref[e]
+
+        def _ab(fn):
+            def index_map(e, i, j, s, mref):
+                a = _act(e, i, mref)
+                return fn(e, i, j, s, lambda v: jnp.where(a, v, 0))
+            return index_map
+
+        in_specs = [
+            pl.BlockSpec((1, bm, bk),
+                         _ab(lambda e, i, j, s, g_: (e, g_(i), g_(s))),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, bk),
+                         _ab(lambda e, i, j, s, g_: (e, g_(j), g_(s))),
+                         memory_space=pltpu.VMEM),
+        ]
+        nsub_a, nsub_b = bk // spec.gran_k_a, bk // spec.gran_k_b
+        if spec.is_scaled:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, bm, nsub_a),
+                _ab(lambda e, i, j, s, g_: (g_(s), e, g_(i), 0)),
+                memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, nsub_b, bn),
+                _ab(lambda e, i, j, s, g_: (g_(s), e, 0, g_(j))),
+                memory_space=pltpu.VMEM))
+        out_spec = pl.BlockSpec((1, bm, bn),
+                                lambda e, i, j, s, mref: (e, i, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        # masked_m rides as a plain SMEM operand, NOT scalar prefetch: no
+        # index map consumes it (only the in-body early-exit predicate
+        # does), and prefetch-free grid specs keep Mosaic's pipeline
+        # statically analyzable (the same machinery finding as the
+        # contiguous/k-grouped static paths).
+        in_specs = [
+            pl.BlockSpec((g,), lambda e, i, j, s: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bm, bk), lambda e, i, j, s: (e, i, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, bk), lambda e, i, j, s: (e, j, s),
+                         memory_space=pltpu.VMEM),
+        ]
+        nsub_a, nsub_b = bk // spec.gran_k_a, bk // spec.gran_k_b
+        if spec.is_scaled:
+            # stepped SFs: sfa [gk, G, max_m, nsub_a], sfb [gk, G, nsub_b, n]
+            in_specs.append(pl.BlockSpec((1, 1, bm, nsub_a),
+                                         lambda e, i, j, s: (s, e, i, 0),
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec((1, 1, nsub_b, bn),
+                                         lambda e, i, j, s: (s, e, 0, j),
+                                         memory_space=pltpu.VMEM))
+        out_spec = pl.BlockSpec((1, bm, bn), lambda e, i, j, s: (e, i, j),
+                                memory_space=pltpu.VMEM)
 
     def kernel(mref, *refs):
         a_ref, b_ref = refs[0], refs[1]
@@ -279,7 +330,7 @@ def _build_masked(spec: GroupedGemmSpec):
             pl.when(i * bm < mref[e])(body)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1 if spec.pf_skip else 0,
         grid=(g, gm, gn, gk),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -514,12 +565,22 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
             sfb_t=sfb_t, gran_k_a=gran_k_a, gran_k_b=gran_k_b,
             out_dtype=out_dtype)
         return d.reshape(num_groups, max_m, n)
+    # Low-occupancy pf-skip choice (see GroupedGemmSpec.pf_skip): when the
+    # expected_m hint says at most half the m-tiles are active, B-restream
+    # traffic is the bound and clamped index maps recover it. The hint never
+    # changes semantics. DGT_MASKED_PF_SKIP={0,1} pins it for A/B profiling.
+    _env_pf = _os.environ.get('DGT_MASKED_PF_SKIP')
+    if _env_pf is not None:
+        pf_skip = _env_pf == '1'
+    else:
+        pf_skip = (not no_exit and expected_m is not None
+                   and expected_m * 2 <= max_m)
     spec = GroupedGemmSpec(
         kind='masked', num_groups=num_groups, m=max_m, n=n, k=k,
         b_kmajor=True, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
         out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b, zero_padded_rows=False, cfg=cfg,
-        no_early_exit=no_exit)
+        no_early_exit=no_exit, pf_skip=pf_skip)
     fn = kernel_cache().get_or_build(spec, lambda: _build_masked(spec))
 
     args = [masked_m.astype(jnp.int32), a, b]

@@ -164,6 +164,16 @@ def main():
           S((sq, hh, dh), f8), S((skv, dh), f8), S((skv,), jnp.float32),
           S((sq, hh), jnp.float32), S((sq,), jnp.int32), S((sq,), jnp.int32))
 
+    # masked LOW-occupancy pf-skip variant at the bench skewed shape
+    # (masked_m as scalar prefetch + clamped index maps for inactive tiles)
+    Gs, mms, ns, ks_ = 8, 256, 4096, 7168
+    check('masked pf-skip (skewed decode, fp8)',
+          lambda a, sa, bv, sb, mm: dg.m_grouped_fp8_gemm_nt_masked(
+              (a, sa), (bv, sb), masked_m=mm, expected_m=mms // 4),
+          S((Gs, mms, ks_), f8), S((Gs, mms, ks_ // 128), jnp.float32),
+          S((Gs, ns, ks_), f8), S((Gs, ns // 128, ks_ // 128), jnp.float32),
+          S((Gs,), jnp.int32))
+
     # fused mega D=1 local kernel at serving dims — at the DEFAULT tile pick
     # (so a pick_mega_tiles change re-audits compileability automatically)
     from deepgemm_tpu.kernels.fused_moe import pick_mega_tiles

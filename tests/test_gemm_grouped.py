@@ -120,6 +120,35 @@ def test_m_grouped_masked_full_occupancy_reroute(monkeypatch, use_fp8):
                and not s.no_early_exit for s in specs)
 
 
+@pytest.mark.parametrize('use_fp8', [False, True])
+def test_m_grouped_masked_pf_skip_bitwise(monkeypatch, use_fp8):
+    """LOW-occupancy pf-skip masked variant (masked_m as scalar prefetch;
+    inactive m-tiles' operand index maps clamp so their DMAs dedupe): must
+    be bitwise with the plain predicated kernel on ALL meaningful rows —
+    including RAGGED masked_m where a group's last active tile is partial,
+    and a zero-count group."""
+    num_groups, max_m, n, k = 4, 256, 256, 384
+    a, b, _, ref_d = generate_m_grouped_masked(
+        num_groups, max_m, 64, n, k, use_fp8=use_fp8)
+    masked_m = jnp.asarray([64, 130, 0, 256], jnp.int32)
+    fn = (dg.m_grouped_fp8_gemm_nt_masked if use_fp8
+          else dg.m_grouped_bf16_gemm_nt_masked)
+    monkeypatch.setenv('DGT_MASKED_PF_SKIP', '1')
+    d_skip = fn(a, b, masked_m=masked_m, expected_m=64)
+    monkeypatch.setenv('DGT_MASKED_PF_SKIP', '0')
+    d_plain = fn(a, b, masked_m=masked_m, expected_m=64)
+    m_np = np.asarray(masked_m)
+    for g in range(num_groups):
+        mg = int(m_np[g])
+        np.testing.assert_array_equal(
+            np.asarray(d_skip[g, :mg]), np.asarray(d_plain[g, :mg]))
+        if mg:
+            tol = 1e-3 if use_fp8 else 1e-5
+            assert calc_diff(d_skip[g, :mg], ref_d[g, :mg]) < tol
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    assert any(getattr(s, 'pf_skip', False) for s in kernel_cache().specs())
+
+
 def test_m_grouped_masked_no_early_exit_unaligned(monkeypatch):
     """max_m NOT 128-aligned cannot reroute (group starts misalign the lane
     tiles); it must build the unpredicated masked kernel instead and stay

@@ -658,3 +658,44 @@ def test_mega_fused_fp4_weights_bitwise(num_devices):
     y4 = run(pk_fp4)
     y8 = run(pk_fp8)
     assert_bitwise_equal(y4, y8)
+
+
+def test_mega_fused_packed_weights_api():
+    """mega_moe_forward(comm='fused', packed_weights=...) — the load-time
+    pack_mega_weights product flowing through the API layer (w1/w1_sf None;
+    the scaled-dispatch decision must see the pack's SF). Must be bitwise
+    with the per-call-weights fused run."""
+    from deepgemm_tpu.kernels.fused_moe import pack_mega_weights
+    from deepgemm_tpu.parallel.moe import moe_capacity
+    ep = 2
+    mesh = make_mesh([('ep', ep)])
+    cfg = MoEConfig(num_experts=4, hidden=128, intermediate=128, topk=2,
+                    capacity_factor=8.0, use_fp8=True, use_kernels=True)
+    rng = np.random.RandomState(19)
+    t_total = 32 * ep
+    x, topk_idx, topk_w, w1, w2 = make_moe_inputs(rng, t_total, cfg)
+    w1_q, w1_sf = _quant_w(w1)
+    w2_q, w2_sf = _quant_w(w2)
+    cap = moe_capacity(t_total // ep, cfg.topk, cfg.num_experts,
+                       cfg.capacity_factor)
+    packed = pack_mega_weights(w1_q, w2_q, w1_sf, w2_sf, cap=cap,
+                               x_dtype=jnp.float8_e4m3fn, num_devices=ep)
+
+    def run(use_packed):
+        def fwd(x_l, idx_l, w_l, w1_l, s1, w2_l, s2, pk):
+            if use_packed:
+                return mega_moe_forward(x_l, idx_l, w_l, None, None, None,
+                                        None, cfg, comm='fused',
+                                        packed_weights=pk)
+            return mega_moe_forward(x_l, idx_l, w_l, w1_l, s1, w2_l, s2,
+                                    cfg, comm='fused')
+        return shard_map(fwd, mesh=mesh, check_vma=False,
+                         in_specs=(P('ep'),) * 8,
+                         out_specs=(P('ep'), P('ep')))(
+                             x, topk_idx, topk_w, w1_q, w1_sf, w2_q, w2_sf,
+                             packed)
+
+    y_pk, d_pk = run(True)
+    y_raw, d_raw = run(False)
+    assert_bitwise_equal(d_pk, d_raw)
+    assert_bitwise_equal(y_pk, y_raw)
