@@ -68,6 +68,37 @@ def main():
     print(f'  -> static/prefetch = {tf_static / tf_pf:.3f} '
           f'(r3 prefetch-only read 171.9; aligned-path 190.1)', flush=True)
 
+    # ---- leg 2b: per-group DENSE split for the uneven layout -------------
+    # Host-concrete starts are static slices: run one dense GEMM per group
+    # (bm can be 256 inside each group, unlike the uniform grouped grid
+    # pinned to bm=128 by the 128-odd starts). If this clears ~184 TFLOPS
+    # (0.97 of the aligned 190.1), route large uneven groups this way.
+    starts = np.concatenate([[0], np.cumsum(mpg_list)]).astype(int)
+
+    def dense_split(aq_, asf_, bq_, sfb_):
+        outs = []
+        for g in range(G):
+            s0, s1 = int(starts[g]), int(starts[g + 1])
+            from deepgemm_tpu.kernels.dense import dense_gemm
+            outs.append(dense_gemm(
+                aq_[s0:s1], bq_[g], sfa=asf_[s0:s1], sfb_t=sfb_[g],
+                out_dtype=jnp.bfloat16))
+        return jnp.concatenate(outs, axis=0)
+
+    loop_ds = bench._loop(lambda i, aq_, asf_, bq_, sfb_:
+                          dense_split(aq_, jnp.roll(asf_, i, 0), bq_,
+                                      sfb_)[0, 0].astype(jnp.float32))
+    try:
+        t_ds = bench._device_time_of(loop_ds, (aq128, asf128, bq, sfb_t),
+                                     'ab128_densesplit')
+        tf_ds = show('align128 uneven PER-GROUP DENSE split', t_ds,
+                     2 * m128 * n * k)
+        print(f'  -> dense-split/static = {tf_ds / tf_static:.3f}',
+              flush=True)
+    except Exception as e:                            # noqa: BLE001
+        print(f'  dense-split leg failed: {type(e).__name__}: '
+              f'{str(e)[:160]}', flush=True)
+
     # ---- leg 1: fused mega vs unfused chain at serving dims (D=1) -------
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map

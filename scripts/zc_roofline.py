@@ -53,10 +53,11 @@ def build_dma_kernel(*, n_slots: int, pages_per_dma: int, contiguous: bool,
         look = n_slots - 1
 
         def dma(tile, i, slot):
-            if contiguous:
-                page0 = tile * tile_pages + i * pages_per_dma
-            else:
-                page0 = bt_ref[jnp.minimum(tile * n_dma + i, n_tiles * n_dma - 1)]
+            # ALWAYS table-driven (contiguous legs pass an arange table):
+            # keeps every leg's loop body dependent on the rolled table so
+            # XLA cannot hoist the kernel out of the timing loop.
+            page0 = bt_ref[jnp.minimum(tile * n_dma + i,
+                                       n_tiles * n_dma - 1)]
             return pltpu.make_async_copy(
                 kv_hbm.at[pl.ds(page0, pages_per_dma)],
                 kv_vmem.at[slot, pl.ds(i * pages_per_dma, pages_per_dma)],
@@ -119,7 +120,10 @@ def main():
         # i of tile t reads pages_per_dma CONSECUTIVE physical pages starting
         # at a scattered base (pair-coalescing needs physically-adjacent
         # pairs, which a serving allocator can guarantee)
-        if pages_per_dma == 1:
+        if contiguous:
+            table = (np.arange(NB // pages_per_dma, dtype=np.int32)
+                     * pages_per_dma)
+        elif pages_per_dma == 1:
             table = rng.permutation(NB).astype(np.int32)
         else:
             base = rng.permutation(NB // pages_per_dma).astype(np.int32)
@@ -132,7 +136,11 @@ def main():
         @jax.jit
         def loop(bt_, kv_):
             def body(i, acc):
-                o = fn(bt_ + (i - i), kv_)     # i-dep so it can't hoist
+                # REAL i-dependence: roll the (tiny) page table — a rolled
+                # permutation is still a permutation, so every iteration
+                # reads all pages once. (A folded `bt + (i-i)` let XLA
+                # hoist the kernel: first run read 8 TB/s.)
+                o = fn(jnp.roll(bt_, i), kv_)
                 return acc + o[0, 0, 0]
             return jax.lax.fori_loop(0, bench.N_ITERS, body, 0.0)
 
