@@ -227,8 +227,10 @@ def _promote_dot(xq, wq, sfa_at, wsf, gran_k, w_fp4: bool = False):
     # Exact f32 promote over gran_k sub-blocks — same term ordering as
     # kernels/common.py:promote_block so results match the unfused
     # masked-kernel path bitwise when block_k covers k. ``sfa_at(c)``
-    # yields the chunk's per-row (cap, 1) scale column. ``w_fp4``: wq is a
-    # planar-packed FP4 tile (k bytes halved); chunks decode to fp8 in-VPU.
+    # yields the chunk's per-row (cap, 1) scale column — or None when x is
+    # an UNSCALED bf16 operand (the act-bf16 L2: mixed bf16 x fp8 dot, only
+    # the weight scale applies). ``w_fp4``: wq is a planar-packed FP4 tile
+    # (k bytes halved); chunks decode to fp8 in-VPU.
     total = None
     for c in range(xq.shape[1] // gran_k):
         w_chunk = (_decode_fp4_chunk(wq, c, gran_k) if w_fp4
@@ -238,7 +240,9 @@ def _promote_dot(xq, wq, sfa_at, wsf, gran_k, w_fp4: bool = False):
             w_chunk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        term = (p * wsf[c:c + 1, :]) * sfa_at(c)
+        term = p * wsf[c:c + 1, :]
+        if sfa_at is not None:
+            term = term * sfa_at(c)
         total = term if total is None else total + term
     return total
 
@@ -254,14 +258,22 @@ def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
     """SwiGLU + topk weight (+in-kernel FP8 requant) from the merged
     (cap, 2*bn1) gate|up dot result — the epilogue the reference fuses at
     sm100_fp8_fp4_mega_moe.cuh:938-1132. Shared by the general (RDMA) and
-    D=1 local kernels so the two are bitwise-identical."""
+    D=1 local kernels so the two are bitwise-identical.
+
+    When ``act_vmem`` is bf16 in scaled mode (the act-bf16 policy, see
+    fused_mega_moe), the FP8 requant is SKIPPED: the reference requants
+    because SM100's MMA needs fp8 operands, but the v5e MXU runs bf16 at
+    the same rate and the act never leaves VMEM — the requant chain
+    (per-chunk amax reduce + scale + cast) is pure VPU overhead here
+    (phase-profiled: the in-kernel epilogue exposed ~43 us/call at serving
+    dims, the fused-vs-unfused gap)."""
     gate, up = gu[:, :bn1], gu[:, bn1:]
     # Mirror the unfused dataflow bit-for-bit: the masked L1 kernel emits
     # bf16, swiglu consumes it in f32 (parallel/moe.py:swiglu_apply_weight)
     gate = gate.astype(jnp.bfloat16).astype(jnp.float32)
     up = up.astype(jnp.bfloat16).astype(jnp.float32)
     act = jnp.clip(jax.nn.silu(gate) * up, -clamp, clamp) * rw_col
-    if scaled:
+    if scaled and act_vmem.dtype != jnp.bfloat16:
         # In-kernel per-token (1, gran_k) FP8 requant — exact semantics of
         # utils/math.py:per_token_cast_to_fp8 from bf16 values.
         v = act.astype(jnp.bfloat16)
@@ -284,7 +296,8 @@ def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
 def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                  e_local: int, nt1: int, nt2: int, bn1: int, bh2: int,
                  pool: int, cap: int, gran_k: int = 128,
-                 clamp: float = 256.0, w_fp4: bool = False):
+                 clamp: float = 256.0, w_fp4: bool = False,
+                 act_fp8: bool = True):
     """Fully-fused mega MoE kernel body: phases 1-3 of the reference kernel
     (/root/reference/deep_gemm/include/deep_gemm/impls/sm100_fp8_fp4_mega_moe.cuh:
     dispatch :432-877, SwiGLU/requant epilogue :938-1132, L2 :1144-1233,
@@ -301,12 +314,19 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
     Dispatch pushes launch at the first grid step; combine pushes drain at
     the last — every transfer rides ICI under MXU work.
     """
-    if scaled:
+    if scaled and act_fp8:
         (send_ref, sfsend_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
          combine_ref, recv_ref, sfrecv_ref, ystage_ref,
          x_vmem, xsf_vmem, act_vmem, actsf_vmem, y_tile,
          copy_sem, ycopy_sems, send_sems, recv_sems,
          sf_send_sems, sf_recv_sems, ysend_sems, yrecv_sems) = args
+    elif scaled:
+        (send_ref, sfsend_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
+         combine_ref, recv_ref, sfrecv_ref, ystage_ref,
+         x_vmem, xsf_vmem, act_vmem, y_tile,
+         copy_sem, ycopy_sems, send_sems, recv_sems,
+         sf_send_sems, sf_recv_sems, ysend_sems, yrecv_sems) = args
+        actsf_vmem = None
     else:
         (send_ref, rw_ref, w1_ref, w2_ref,
          combine_ref, recv_ref, ystage_ref,
@@ -445,7 +465,8 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
                 for c in _ycopies(j2 - 2, slot):
                     c.wait()
         if scaled:
-            y = _promote_dot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
+            y = _promote_dot(act_vmem[:], w2_ref[0],
+                             (lambda c: actsf_vmem[c]) if act_fp8 else None,
                              w2sf_ref[0], gran_k, w_fp4=w_fp4)
         else:
             y = _plain_dot(act_vmem[:], w2_ref[0])
@@ -514,16 +535,21 @@ def _mega_kernel(*args, num_devices: int, axis_name: str, scaled: bool,
 
 
 def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
-                       gran_k: int, clamp: float, w_fp4: bool = False):
+                       gran_k: int, clamp: float, w_fp4: bool = False,
+                       act_fp8: bool = True):
     """D=1 specialization of the mega kernel: no peers means no RDMA, no recv
     pool, no staging copies. x/xsf/rw/weights all arrive as prefetched
     BlockSpec tiles and y tiles write back through the output BlockSpec —
     Mosaic pipelines every transfer under the MXU work. The compute sequence
     (_promote_dot + _l1_epilogue) is shared with the general kernel, so the
     two are bitwise-identical at D=1."""
-    if scaled:
+    if scaled and act_fp8:
         (x_ref, xsf_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
          y_ref, act_vmem, actsf_vmem) = args
+    elif scaled:
+        (x_ref, xsf_ref, rw_ref, w1_ref, w1sf_ref, w2_ref, w2sf_ref,
+         y_ref, act_vmem) = args
+        actsf_vmem = None
     else:
         (x_ref, rw_ref, w1_ref, w2_ref, y_ref, act_vmem) = args
         actsf_vmem = None
@@ -551,7 +577,8 @@ def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
     @pl.when(t >= nt1)
     def _l2():
         if scaled:
-            y = _promote_dot(act_vmem[:], w2_ref[0], lambda c: actsf_vmem[c],
+            y = _promote_dot(act_vmem[:], w2_ref[0],
+                             (lambda c: actsf_vmem[c]) if act_fp8 else None,
                              w2sf_ref[0], gran_k, w_fp4=w_fp4)
         else:
             y = _plain_dot(act_vmem[:], w2_ref[0])
@@ -560,11 +587,12 @@ def _mega_kernel_local(*args, scaled: bool, nt1: int, nt2: int, bn1: int,
 
 def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
                      inter, e_local, nt1, nt2, bn1, bh2, gran_k, clamp,
-                     scaled, interpret, w_fp4: bool = False):
+                     scaled, interpret, w_fp4: bool = False,
+                     act_fp8: bool = True):
     """Build + run the D=1 local mega kernel. Returns y [E_local, cap, H]."""
     kernel = functools.partial(
         _mega_kernel_local, scaled=scaled, nt1=nt1, nt2=nt2, bn1=bn1,
-        gran_k=gran_k, clamp=clamp, w_fp4=w_fp4)
+        gran_k=gran_k, clamp=clamp, w_fp4=w_fp4, act_fp8=act_fp8)
     wk1 = hidden // 2 if w_fp4 else hidden     # w tile k bytes (planar FP4
     wk2 = inter // 2 if w_fp4 else inter       # packs 2 codes per int8)
     # x/xsf/rw/y as flat [E*cap, .] arrays with dense-style 2D blocks (see
@@ -608,8 +636,9 @@ def _mega_local_call(x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, *, cap, hidden,
         (cap, bh2), lambda e, t: (e, jnp.clip(t - nt1, 0, nt2 - 1)),
         memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((cap, inter),
-                          jnp.float8_e4m3fn if scaled else jnp.bfloat16)]
-    if scaled:
+                          jnp.float8_e4m3fn if scaled and act_fp8
+                          else jnp.bfloat16)]
+    if scaled and act_fp8:
         scratch.append(pltpu.VMEM((inter // gran_k, cap, 1), jnp.float32))
     y = pl.pallas_call(
         kernel,
@@ -651,6 +680,32 @@ class MegaPackedWeights:
     # expert-weight HBM footprint AND stream traffic (the reference mega's
     # MmaKind::MXFP8FP4, impls/sm100_fp8_fp4_mega_moe.cuh:51-64).
     w_fp4: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Act dtype between L1 and L2 (scaled mode): False = keep bf16 and skip
+    # the in-kernel FP8 requant (see _l1_epilogue — the v5e MXU runs bf16 at
+    # fp8 rate and act never leaves VMEM, so the requant is pure VPU
+    # overhead); True = the reference's requantized dataflow.
+    act_fp8: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=True)
+
+
+def _resolve_act_fp8(act_fp8) -> bool:
+    """Act dtype policy between the mega kernel's L1 and L2 (scaled mode).
+
+    Default FALSE on TPU: keep act bf16 and SKIP the in-kernel FP8 requant.
+    The reference requants because SM100's MMA needs fp8 operands
+    (sm100_fp8_fp4_mega_moe.cuh:938-1132); the v5e MXU runs bf16 at the fp8
+    rate and act never leaves VMEM, so the requant chain is pure VPU
+    overhead (phase-profiled ~43 us/call at serving dims — the whole
+    fused-vs-unfused gap). act_fp8=True restores the reference's
+    requantized dataflow (and halves act VMEM, for VMEM-tight configs);
+    DGT_MEGA_ACT_FP8={0,1} pins it for A/B runs."""
+    import os as _os
+    env = _os.environ.get('DGT_MEGA_ACT_FP8')
+    if env is not None:
+        return env == '1'
+    if act_fp8 is None:
+        return False
+    return bool(act_fp8)
 
 
 def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
@@ -658,7 +713,8 @@ def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
                       x_dtype=jnp.float8_e4m3fn, num_devices: int = 1,
                       block_n: int = 0, block_h: int = 0,
                       gran_k: int = 128,
-                      w_packed_fp4: bool = False) -> MegaPackedWeights:
+                      w_packed_fp4: bool = False,
+                      act_fp8: bool = None) -> MegaPackedWeights:
     """Pack mega-MoE weights into the fused kernel's preferred layout ONCE
     (at load time). ``cap``/``x_dtype``/``num_devices`` must match the later
     forward calls — they determine the VMEM-aware tile pick.
@@ -684,16 +740,19 @@ def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
         inter = two_i // 2
         assert w2.shape == (e_local, hidden, inter), (w2.shape,)
     scaled = w1_sf is not None
+    act_fp8 = _resolve_act_fp8(act_fp8)
     xb = jnp.dtype(x_dtype).itemsize
     wb = jnp.dtype(w1.dtype).itemsize
     pool = 1
     if num_devices > 1:
         pool = pick_wave_pool(num_devices, cap, hidden, inter, xb=xb, wb=wb,
                               scaled=scaled, gran_k=gran_k,
-                              block_n=block_n, block_h=block_h)
+                              block_n=block_n, block_h=block_h,
+                              act_fp8=act_fp8)
     bn1, bh2 = pick_mega_tiles(
         hidden, inter, cap, xb=xb, wb=wb, scaled=scaled, gran_k=gran_k,
-        block_n=block_n, block_h=block_h, local=num_devices == 1, pool=pool)
+        block_n=block_n, block_h=block_h, local=num_devices == 1, pool=pool,
+        act_fp8=act_fp8)
     nt1 = inter // bn1
     wk1 = hidden // 2 if w_packed_fp4 else hidden
     # (packed FP4: the tile-pair repack permutes n-rows only; the planar k
@@ -713,12 +772,12 @@ def pack_mega_weights(w1: jnp.ndarray, w2: jnp.ndarray,
                             axis=1)[:, :hidden].transpose(0, 2, 1)
     return MegaPackedWeights(w1p=w1p, w2=w2, w1sf_t=w1sf_t, w2sf_t=w2sf_t,
                              bn1=bn1, bh2=bh2, gran_k=gran_k, pool=pool,
-                             w_fp4=w_packed_fp4)
+                             w_fp4=w_packed_fp4, act_fp8=act_fp8)
 
 
 def _mega_vmem_bytes(b1: int, b2: int, *, hidden: int, inter: int,
                      rows: int, xb: int, wb: int, scaled: bool,
-                     gran_k: int, local: bool) -> int:
+                     gran_k: int, local: bool, act_fp8: bool = True) -> int:
     """Conservative VMEM working-set estimate for the fused mega kernel at
     L1 tile width ``b1``, L2 tile width ``b2`` and ``rows`` token rows per
     MXU pass (``rows = pool * cap`` in the wave-pooled general kernel)."""
@@ -726,12 +785,12 @@ def _mega_vmem_bytes(b1: int, b2: int, *, hidden: int, inter: int,
     e += (b2 * inter * wb) * 2              # w2 tile
     # x: one staging buffer (general) / a double-buffered BlockSpec (local)
     e += rows * hidden * xb * (2 if local else 1)
-    e += rows * inter * (1 if scaled else 2)  # act
+    e += rows * inter * (1 if scaled and act_fp8 else 2)  # act
     e += 2 * rows * b2 * 2                   # y tile double buffer
     if scaled:
         ksf1_ = ((hidden // gran_k + 127) // 128) * 128
         e += rows * ksf1_ * 4 * (2 if local else 1) \
-            + (inter // gran_k) * rows * 4
+            + ((inter // gran_k) * rows * 4 if act_fp8 else 0)
         e += 2 * (hidden // gran_k) * b1 * 4 * 2
         e += (inter // gran_k) * b2 * 4 * 2
     return e
@@ -740,7 +799,8 @@ def _mega_vmem_bytes(b1: int, b2: int, *, hidden: int, inter: int,
 def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
                     scaled: bool, gran_k: int = 128,
                     block_n: int = 0, block_h: int = 0,
-                    budget: int = 0, local: bool = False, pool: int = 1):
+                    budget: int = 0, local: bool = False, pool: int = 1,
+                    act_fp8: bool = True):
     """VMEM-aware (bn1, bh2) tile pick for the fused mega kernel.
 
     At serving dims (H 7168, I 2048, cap 128, bn1 = bh2 = 256) the working
@@ -791,7 +851,7 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
     def _est(b1, b2):
         return _mega_vmem_bytes(b1, b2, hidden=hidden, inter=inter,
                                 rows=pool * cap, xb=xb, wb=wb, scaled=scaled,
-                                gran_k=gran_k, local=local)
+                                gran_k=gran_k, local=local, act_fp8=act_fp8)
 
     def _shrink_div(cur, total, quantum):
         # Largest value < cur that divides `total` and is a multiple of
@@ -825,7 +885,8 @@ def pick_mega_tiles(hidden: int, inter: int, cap: int, *, xb: int, wb: int,
 
 def pick_wave_pool(num_devices: int, cap: int, hidden: int, inter: int, *,
                    xb: int, wb: int, scaled: bool, gran_k: int = 128,
-                   block_n: int = 0, block_h: int = 0) -> int:
+                   block_n: int = 0, block_h: int = 0,
+                   act_fp8: bool = True) -> int:
     """Wave-pool size P for the general (D>1) fused mega kernel — the TPU
     analog of the reference's ``get_num_wave_pool_tokens``
     (/root/reference/csrc/jit_kernels/heuristics/mega_moe.hpp:134-185), which
@@ -863,10 +924,12 @@ def pick_wave_pool(num_devices: int, cap: int, hidden: int, inter: int, *,
             continue
         bn1, bh2 = pick_mega_tiles(
             hidden, inter, cap, xb=xb, wb=wb, scaled=scaled, gran_k=gran_k,
-            block_n=block_n, block_h=block_h, local=False, pool=p)
+            block_n=block_n, block_h=block_h, local=False, pool=p,
+            act_fp8=act_fp8)
         if _mega_vmem_bytes(bn1, bh2, hidden=hidden, inter=inter,
                             rows=p * cap, xb=xb, wb=wb, scaled=scaled,
-                            gran_k=gran_k, local=False) <= budget:
+                            gran_k=gran_k, local=False,
+                            act_fp8=act_fp8) <= budget:
             return p
     return 1
 
@@ -879,7 +942,8 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
                    block_n: int = 0, block_h: int = 0,
                    collective_id: int = 8, clamp: float = 256.0,
                    gran_k: int = 128, packed: MegaPackedWeights = None,
-                   force_general: bool = False, pool: int = 0) -> jnp.ndarray:
+                   force_general: bool = False, pool: int = 0,
+                   act_fp8: bool = None) -> jnp.ndarray:
     """Fully-fused mega MoE forward (inside shard_map over ``axis_name``):
     EP dispatch + L1 GEMM + SwiGLU/topk-weight (+FP8 requant) + L2 GEMM +
     EP combine push, in ONE Pallas kernel — the TPU analog of the reference's
@@ -926,6 +990,8 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
             (pool, packed.pool, 'tiles were budgeted at pack time for '
              'packed.pool — repack to change the wave pool')
         pool = packed.pool
+        # act dtype was budgeted at pack time; the pack's choice wins
+        act_fp8 = packed.act_fp8
         w1p, w1sf_t, w2sf_t = packed.w1p, packed.w1sf_t, packed.w2sf_t
         w2 = packed.w2
         assert w1p.shape[0] == e_local \
@@ -934,15 +1000,18 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         assert scaled == (w1sf_t is not None), \
             'packed weights SF presence must match send_sf'
     else:
+        act_fp8 = _resolve_act_fp8(act_fp8)
         xb = jnp.dtype(send_x.dtype).itemsize
         wb = jnp.dtype(w1.dtype).itemsize
         if pool <= 0:
             pool = 1 if local else pick_wave_pool(
                 num_devices, cap, hidden, inter, xb=xb, wb=wb, scaled=scaled,
-                gran_k=gran_k, block_n=block_n, block_h=block_h)
+                gran_k=gran_k, block_n=block_n, block_h=block_h,
+                act_fp8=act_fp8)
         bn1, bh2 = pick_mega_tiles(
             hidden, inter, cap, xb=xb, wb=wb, scaled=scaled, gran_k=gran_k,
-            block_n=block_n, block_h=block_h, local=local, pool=pool)
+            block_n=block_n, block_h=block_h, local=local, pool=pool,
+            act_fp8=act_fp8)
     assert pool >= 1 and num_devices % pool == 0, (pool, num_devices)
     nt1, nt2 = inter // bn1, hidden // bh2
 
@@ -995,12 +1064,14 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
             w1p, w1sf_t, w2, w2sf_t,
             cap=cap, hidden=hidden, inter=inter, e_local=e_local,
             nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2, gran_k=gran_k, clamp=clamp,
-            scaled=scaled, interpret=interpret, w_fp4=w_fp4)[None]
+            scaled=scaled, interpret=interpret, w_fp4=w_fp4,
+            act_fp8=act_fp8)[None]
 
     kernel = functools.partial(
         _mega_kernel, num_devices=num_devices, axis_name=axis_name,
         scaled=scaled, e_local=e_local, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
-        pool=pool, cap=cap, gran_k=gran_k, clamp=clamp, w_fp4=w_fp4)
+        pool=pool, cap=cap, gran_k=gran_k, clamp=clamp, w_fp4=w_fp4,
+        act_fp8=act_fp8)
     npool = num_devices // pool
     # Pooled row-weight layout [npool, E_local, pool*cap, 1]: the P slabs of
     # a pool land stacked in x_vmem, so their topk weights arrive as one
@@ -1058,8 +1129,9 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         scratch.append(pltpu.VMEM((pool * cap, send_sf.shape[-1]),
                                   jnp.float32))
     scratch.append(pltpu.VMEM((pool * cap, inter),
-                              jnp.float8_e4m3fn if scaled else jnp.bfloat16))
-    if scaled:
+                              jnp.float8_e4m3fn if scaled and act_fp8
+                              else jnp.bfloat16))
+    if scaled and act_fp8:
         # k-step-leading act scales (see the in-kernel store comment)
         scratch.append(pltpu.VMEM((inter // gran_k, pool * cap, 1),
                                   jnp.float32))

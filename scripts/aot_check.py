@@ -184,15 +184,20 @@ def main():
     nt1, nt2 = I // bn1, H // bh2
     ksf1, ksf2 = H // gran, I // gran
     ksf_pad = ((ksf1 + 127) // 128) * 128
-    check('fused mega D=1 local (serving dims, fp8)',
-          lambda x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t: _mega_local_call(
-              x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, cap=cap, hidden=H,
-              inter=I, e_local=E, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
-              gran_k=gran, clamp=256.0, scaled=True, interpret=False),
-          S((E, cap, H), f8), S((E, cap, ksf_pad), jnp.float32),
-          S((E, cap, 1), jnp.float32), S((E, nt1, 2 * bn1, H), f8),
-          S((E, nt1, ksf1, 2 * bn1), jnp.float32),
-          S((E, H, I), f8), S((E, ksf2, H), jnp.float32))
+    # both act policies: bf16 act (the TPU default — no in-kernel requant)
+    # and fp8 act (the reference's requantized dataflow, VMEM-tight option)
+    for actp in (False, True):
+        check(f'fused mega D=1 local (serving dims, fp8, act_fp8={actp})',
+              lambda x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, _a=actp:
+              _mega_local_call(
+                  x, xsf, rw3, w1p, w1sf_t, w2, w2sf_t, cap=cap, hidden=H,
+                  inter=I, e_local=E, nt1=nt1, nt2=nt2, bn1=bn1, bh2=bh2,
+                  gran_k=gran, clamp=256.0, scaled=True, interpret=False,
+                  act_fp8=_a),
+              S((E, cap, H), f8), S((E, cap, ksf_pad), jnp.float32),
+              S((E, cap, 1), jnp.float32), S((E, nt1, 2 * bn1, H), f8),
+              S((E, nt1, ksf1, 2 * bn1), jnp.float32),
+              S((E, H, I), f8), S((E, ksf2, H), jnp.float32))
 
     # fused mega D=1 local with PLANAR-PACKED FP4 weights (VERDICT r4 #5):
     # same serving dims, w tiles halved, per-chunk in-VPU nibble decode —

@@ -162,13 +162,21 @@ def test_mega_fused_comm(num_devices):
     assert_bitwise_equal(y_fused, y_ref)
 
 
-def test_mega_fused_comm_fp8():
+@pytest.mark.parametrize('act_fp8', ['1', '0'])
+def test_mega_fused_comm_fp8(monkeypatch, act_fp8):
     """FP8 comm='fused': tokens quantize per-token pre-dispatch, SFs travel
-    with the RDMA slabs, the SwiGLU + per-token FP8 requant + L2 promote all
-    run in-kernel. Matches the unfused baseline to fp8 tolerance (not
-    bitwise: a 1-ulp f32 difference in the transcendental between the
-    kernel's and XLA's exp can shift a row's requant amax by one quantum)
-    and the dense local oracle to fp8 tolerance."""
+    with the RDMA slabs, the SwiGLU (+per-token FP8 requant when act_fp8)
+    + L2 promote all run in-kernel.
+
+    act_fp8=1 (the reference's requantized dataflow): matches the unfused
+    baseline to fp8 tolerance (not bitwise: a 1-ulp f32 difference in the
+    transcendental between the kernel's and XLA's exp can shift a row's
+    requant amax by one quantum). act_fp8=0 (the TPU default — bf16 act,
+    no in-kernel requant: the v5e MXU runs bf16 at fp8 rate and act never
+    leaves VMEM): SKIPS the act quantization the unfused path performs, so
+    it differs from the baseline by that quantization error (looser bound)
+    while matching the dense f32 oracle at least as well."""
+    monkeypatch.setenv('DGT_MEGA_ACT_FP8', act_fp8)
     mesh = make_mesh([('ep', 2)])
     cfg = MoEConfig(num_experts=4, hidden=128, intermediate=128, topk=2,
                     capacity_factor=8.0, use_fp8=True, use_kernels=True)
@@ -193,7 +201,9 @@ def test_mega_fused_comm_fp8():
     y, dropped = run('fused')
     y_unf, _ = run(None)
     assert int(jnp.sum(dropped)) == 0
-    assert calc_diff(y, y_unf) < 1e-4          # same quantized dataflow
+    # act_fp8: same quantized dataflow (tight); bf16 act: the delta IS the
+    # act-quantization error the fused path no longer commits
+    assert calc_diff(y, y_unf) < (1e-4 if act_fp8 == '1' else 1e-3)
     ref = local_moe_reference(x, topk_idx, topk_w,
                               _dequant(w1_q, w1_sf), _dequant(w2_q, w2_sf))
     assert calc_diff(y, ref) < 2e-3
@@ -349,7 +359,9 @@ def test_moe_drops_through_fused_kernel(use_fp8):
     assert int(jnp.sum(d_ref)) > 0, 'fixture must actually drop pairs'
     assert_bitwise_equal(d_fused, d_ref)
     if use_fp8:
-        assert calc_diff(y_fused, y_ref) < 1e-4
+        # bf16-act default: the fused path skips the act requant the
+        # unfused baseline commits, so the bound is that quantization error
+        assert calc_diff(y_fused, y_ref) < 1e-3
     else:
         assert_bitwise_equal(y_fused, y_ref)
 
