@@ -268,12 +268,20 @@ def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
     (phase-profiled: the in-kernel epilogue exposed ~43 us/call at serving
     dims, the fused-vs-unfused gap)."""
     gate, up = gu[:, :bn1], gu[:, bn1:]
-    # Mirror the unfused dataflow bit-for-bit: the masked L1 kernel emits
-    # bf16, swiglu consumes it in f32 (parallel/moe.py:swiglu_apply_weight)
-    gate = gate.astype(jnp.bfloat16).astype(jnp.float32)
-    up = up.astype(jnp.bfloat16).astype(jnp.float32)
+    act_bf16 = scaled and act_vmem.dtype == jnp.bfloat16
+    if not act_bf16:
+        # Mirror the unfused dataflow bit-for-bit: the masked L1 kernel
+        # emits bf16, swiglu consumes it in f32 (swiglu_apply_weight). The
+        # BF16 (unscaled) mode's fused-vs-unfused BITWISE contract rests on
+        # these casts.
+        gate = gate.astype(jnp.bfloat16).astype(jnp.float32)
+        up = up.astype(jnp.bfloat16).astype(jnp.float32)
+    # else: the bf16-act mode is tolerance-contracted anyway — skipping the
+    # bf16 round-trip drops 2 casts x (cap, 2*bn1) x nt1 tiles of pure VPU
+    # work from the single issue stream (~17 us/call at serving dims) and
+    # is again MORE precise (silu consumes the dot's full-f32 result).
     act = jnp.clip(jax.nn.silu(gate) * up, -clamp, clamp) * rw_col
-    if scaled and act_vmem.dtype != jnp.bfloat16:
+    if scaled and not act_bf16:
         # In-kernel per-token (1, gran_k) FP8 requant — exact semantics of
         # utils/math.py:per_token_cast_to_fp8 from bf16 values.
         v = act.astype(jnp.bfloat16)
