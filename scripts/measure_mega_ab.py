@@ -61,12 +61,14 @@ def main():
     sfb2m_t = _grouped_sfb_t(w2msf, ELm, Hm, Im, (128, 128), b_kmajor=True)
     fullm = jnp.full((ELm,), capm, jnp.int32)
 
-    def _unfused_mega(xq, sf, rws):
-        gu = m_grouped_gemm_masked(xq, w1mq, fullm, sfa=sf, sfb_t=sfb1m_t,
+    # weights as jit ARGS, never closures (closure arrays embed into the
+    # compile body -> relay HTTP 413; the r4 bench root cause)
+    def _unfused_mega(xq, sf, rws, w1q, sfb1_t, w2q, sfb2_t):
+        gu = m_grouped_gemm_masked(xq, w1q, fullm, sfa=sf, sfb_t=sfb1_t,
                                    out_dtype=jnp.bfloat16, expected_m=capm)
         aq2, asf2 = swiglu_apply_weight_to_fp8(gu, rws)
-        return m_grouped_gemm_masked(aq2, w2mq, fullm, sfa=asf2,
-                                     sfb_t=sfb2m_t, out_dtype=jnp.bfloat16,
+        return m_grouped_gemm_masked(aq2, w2q, fullm, sfa=asf2,
+                                     sfb_t=sfb2_t, out_dtype=jnp.bfloat16,
                                      expected_m=capm)
 
     @jax.jit
@@ -75,7 +77,8 @@ def main():
         return 1.0 - 2.0 * jnp.vdot(x, y) / (jnp.vdot(x, x) + jnp.vdot(y, y))
 
     y_f = mega_fn(xqm, xsfm, rwm, packm)
-    y_u = jax.jit(_unfused_mega)(xqm[0], xsfm[0], rwm[0])
+    y_u = jax.jit(_unfused_mega)(xqm[0], xsfm[0], rwm[0],
+                                 w1mq, sfb1m_t, w2mq, sfb2m_t)
     d = float(_dev_diff(y_f[0], y_u))
     print(f'fused vs unfused (on-device): calc_diff={d:.2e}', flush=True)
     assert d < 1e-3, d
@@ -89,13 +92,15 @@ def main():
         return jax.lax.fori_loop(0, bench.N_ITERS, body, 0.0)
 
     @jax.jit
-    def loop_unf(xs, ss, rws):
+    def loop_unf(xs, ss, rws, w1q, sfb1_t, w2q, sfb2_t):
         def body(i, acc):
-            y = _unfused_mega(xs[0], jnp.roll(ss, i, 2)[0], rws[0])
+            y = _unfused_mega(xs[0], jnp.roll(ss, i, 2)[0], rws[0],
+                              w1q, sfb1_t, w2q, sfb2_t)
             return acc + y[0, 0, i].astype(jnp.float32)
         return jax.lax.fori_loop(0, bench.N_ITERS, body, 0.0)
 
-    t_unf = bench._device_time_of(loop_unf, (xqm, xsfm, rwm), 'mega_unf')
+    t_unf = bench._device_time_of(
+        loop_unf, (xqm, xsfm, rwm, w1mq, sfb1m_t, w2mq, sfb2m_t), 'mega_unf')
     print(f'unfused pipeline: {flops_mega / t_unf / 1e12:7.1f} TFLOPS '
           f'({t_unf * 1e6:.1f} us/iter)', flush=True)
     t_mega = bench._device_time_of(loop_mega, (xqm, xsfm, rwm, packm),
