@@ -360,6 +360,9 @@ def compute_tile_gids(grouped_layout: jnp.ndarray, num_groups: int, m: int,
     (/root/reference/deep_gemm/include/deep_gemm/scheduler/gemm.cuh:160-162,253-262)."""
     num_tiles = ceil_div(m, block_m)
     starts = jnp.arange(num_tiles, dtype=jnp.int32) * block_m
+    # jnp-coerce first: a host-side numpy layout indexed by `starts` (a
+    # staged constant under jit) raises TracerArrayConversionError.
+    grouped_layout = jnp.asarray(grouped_layout)
     if use_psum_layout:
         ends = grouped_layout.astype(jnp.int32)           # [G] psum end offsets
         gids = jnp.searchsorted(ends, starts, side='right').astype(jnp.int32)

@@ -294,6 +294,36 @@ def test_m_grouped_contiguous_static_uneven_equals_prefetch(monkeypatch,
         'uneven aligned layout did not take the compare-chain static path'
 
 
+def test_m_grouped_contiguous_numpy_layout_under_jit(monkeypatch):
+    """A host-side NUMPY grouped_layout on the scalar-prefetch path, called
+    inside a jit trace: compute_tile_gids indexes the layout with `starts`,
+    which under jit is a STAGED constant (a tracer) — indexing a numpy array
+    with it raised TracerArrayConversionError until round 4 (hit by the
+    forced-prefetch A/B leg of scripts/r4_onchip_ab.py)."""
+    import jax
+    monkeypatch.setenv('DGT_GROUPED_FORCE_PREFETCH', '1')
+    num_groups, n, k = 4, 256, 384
+    sizes = [128, 256, 128, 128]
+    m = sum(sizes)
+    rng = np.random.RandomState(43)
+    a = jnp.asarray(rng.randn(m, k).astype(np.float32), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(num_groups, n, k).astype(np.float32),
+                    jnp.bfloat16)
+    ids_np = np.repeat(np.arange(num_groups, dtype=np.int32), sizes)
+
+    @jax.jit
+    def run(a_, b_):
+        return dg.m_grouped_bf16_gemm_nt_contiguous(
+            a_, b_, grouped_layout=ids_np, use_psum_layout=False)
+
+    d = run(a, b)
+    ref = jnp.concatenate([
+        (a[s - sz:s].astype(jnp.float32)
+         @ b[g].astype(jnp.float32).T).astype(jnp.bfloat16)
+        for g, (s, sz) in enumerate(zip(np.cumsum(sizes), sizes))])
+    assert calc_diff(d, ref) < 1e-5
+
+
 def test_m_grouped_contiguous_packed_sf_both_majors():
     """Packed-UE8M0 SF through the grouped ops for BOTH B majors — the
     reference's recipe engine handles every major
