@@ -253,6 +253,31 @@ def _plain_dot(xv, wv):
         preferred_element_type=jnp.float32)
 
 
+def _silu(x, default_impl: str = 'exp'):
+    """SiLU with a pinnable lowering (read at trace time).
+
+    The epilogue's exp is the one VPU transcendental in the fused mega's
+    single issue stream. Measured on-chip at serving dims (D=1, bf16-act):
+    exp 565.7 us/iter, tanh-form 562.8, no-silu floor 562.6 — the tanh
+    lowering recovers the WHOLE transcendental exposure (Mosaic's tanh is
+    cheaper than its exp) and is f32-identical (on-device calc_diff 6e-8).
+    Default 'tanh' in the bf16-act tolerance path; the bitwise contracts
+    (BF16 unscaled / act_fp8) keep jax.nn.silu to match the unfused
+    swiglu_apply_weight chain bit-for-bit. DGT_MEGA_SILU pins:
+      'exp'    — jax.nn.silu, x * logistic(x)
+      'tanh'   — x * (0.5*tanh(0.5x) + 0.5), mathematically equal
+                 (XLA's own TPU rewrite of logistic)
+      'nosilu' — identity (WRONG RESULTS; exposure isolation only)
+    """
+    import os as _os
+    impl = _os.environ.get('DGT_MEGA_SILU', default_impl)
+    if impl == 'tanh':
+        return x * (0.5 * jnp.tanh(0.5 * x) + 0.5)
+    if impl == 'nosilu':
+        return x
+    return jax.nn.silu(x)
+
+
 def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
                  gran_k, clamp):
     """SwiGLU + topk weight (+in-kernel FP8 requant) from the merged
@@ -280,7 +305,14 @@ def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
     # bf16 round-trip drops 2 casts x (cap, 2*bn1) x nt1 tiles of pure VPU
     # work from the single issue stream (~17 us/call at serving dims) and
     # is again MORE precise (silu consumes the dot's full-f32 result).
-    act = jnp.clip(jax.nn.silu(gate) * up, -clamp, clamp) * rw_col
+    if act_bf16:
+        # The clamp exists to keep |act| inside the fp8 e4m3 requant range
+        # (reference: sm100_fp8_fp4_mega_moe.cuh epilogue). With no requant
+        # the bf16 act cannot overflow — dropping the clip removes 2 VPU
+        # ops/element from the exposed single issue stream.
+        act = _silu(gate, 'tanh') * up * rw_col
+    else:
+        act = jnp.clip(_silu(gate) * up, -clamp, clamp) * rw_col
     if scaled and not act_bf16:
         # In-kernel per-token (1, gran_k) FP8 requant — exact semantics of
         # utils/math.py:per_token_cast_to_fp8 from bf16 values.

@@ -75,19 +75,22 @@ def main():
     # (0.97 of the aligned 190.1), route large uneven groups this way.
     starts = np.concatenate([[0], np.cumsum(mpg_list)]).astype(int)
 
-    def dense_split(aq_, asf_, bq_, sfb_):
-        outs = []
+    def dense_split(aq_, asf_, bq_, sfb_, i):
+        # consume ONE dynamically-indexed element from EVERY group's output
+        # — a static [0, 0] on the concatenation let XLA DCE 7 of the 8
+        # per-group GEMMs (first read: 1228 "TFLOPS" = the G~8x artifact)
+        acc = jnp.float32(0)
         for g in range(G):
             s0, s1 = int(starts[g]), int(starts[g + 1])
             from deepgemm_tpu.kernels.dense import dense_gemm
-            outs.append(dense_gemm(
-                aq_[s0:s1], bq_[g], sfa=asf_[s0:s1], sfb_t=sfb_[g],
-                out_dtype=jnp.bfloat16))
-        return jnp.concatenate(outs, axis=0)
+            o = dense_gemm(aq_[s0:s1], bq_[g], sfa=asf_[s0:s1],
+                           sfb_t=sfb_[g], out_dtype=jnp.bfloat16)
+            acc = acc + o[0, i].astype(jnp.float32)
+        return acc
 
     loop_ds = bench._loop(lambda i, aq_, asf_, bq_, sfb_:
                           dense_split(aq_, jnp.roll(asf_, i, 0), bq_,
-                                      sfb_)[0, 0].astype(jnp.float32))
+                                      sfb_, i))
     try:
         t_ds = bench._device_time_of(loop_ds, (aq128, asf128, bq, sfb_t),
                                      'ab128_densesplit')
