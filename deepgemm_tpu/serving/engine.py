@@ -32,25 +32,67 @@ from ..utils.math import ceil_div
 
 class PageAllocator:
     """Host-side free-list of KV cache blocks (the paged-attention page
-    table manager the reference's serving stacks keep around its kernels)."""
+    table manager the reference's serving stacks keep around its kernels).
+
+    PAIR-ALIGNED: pages are handed out so that a sequence's logical pages
+    (2i, 2i+1) are physically adjacent (2k, 2k+1) whenever a whole aligned
+    pair is free — the layout contract the zero-copy decode kernel's
+    pair-coalesced DMAs ride (kernels/paged_mqa.py: the per-8KB DMA issue
+    cost is the measured zc bound; adjacent pairs fold into one 16KB DMA,
+    pure-DMA ceiling 592 -> 728 GB/s). Degrades gracefully to singles under
+    fragmentation; correctness never depends on adjacency."""
 
     def __init__(self, num_blocks: int):
-        self._free: List[int] = list(range(num_blocks - 1, -1, -1))
         self.num_blocks = num_blocks
+        # pair k = pages (2k, 2k+1); ascending hand-out order
+        self._free_pairs: List[int] = list(range(num_blocks // 2 - 1, -1, -1))
+        self._free_singles: List[int] = (
+            [num_blocks - 1] if num_blocks % 2 else [])
 
     @property
     def num_free(self) -> int:
-        return len(self._free)
+        return 2 * len(self._free_pairs) + len(self._free_singles)
+
+    def _pop_single(self) -> int:
+        if self._free_singles:
+            return self._free_singles.pop()
+        k = self._free_pairs.pop()          # break a pair (rare path)
+        self._free_singles.append(2 * k + 1)
+        return 2 * k
 
     def alloc(self, n: int) -> List[int]:
-        if n > len(self._free):
+        """n pages; positions (2i, 2i+1) of the result are physically
+        adjacent whenever a whole pair was available."""
+        if n > self.num_free:
             raise MemoryError(f'paged cache exhausted: need {n}, '
-                              f'free {len(self._free)}')
-        out = [self._free.pop() for _ in range(n)]
+                              f'free {self.num_free}')
+        out: List[int] = []
+        while n - len(out) >= 2 and self._free_pairs:
+            k = self._free_pairs.pop()
+            out.extend((2 * k, 2 * k + 1))
+        while len(out) < n:
+            out.append(self._pop_single())
         return out
 
+    def alloc_pair(self) -> Optional[List[int]]:
+        """One whole aligned pair, or None if only singles remain — decode
+        growth reserves the odd half for the sequence's NEXT page so
+        adjacency survives one-page-at-a-time growth."""
+        if not self._free_pairs:
+            return None
+        k = self._free_pairs.pop()
+        return [2 * k, 2 * k + 1]
+
     def free(self, pages: List[int]):
-        self._free.extend(reversed(pages))
+        singles = set(self._free_singles)
+        singles.update(pages)
+        for p in sorted(pages):
+            even = p - (p % 2)
+            if even in singles and even + 1 in singles:
+                singles.discard(even)
+                singles.discard(even + 1)
+                self._free_pairs.append(even // 2)
+        self._free_singles = sorted(singles)
 
 
 @dataclasses.dataclass
@@ -60,6 +102,10 @@ class SequenceState:
     ctx_len: int                  # tokens currently in the cache
     pages: List[int]
     steps: int = 0
+    # odd half of a pair reserved by decode growth at an even logical page
+    # index (PageAllocator.alloc_pair) — consumed by the NEXT growth so the
+    # (2i, 2i+1) adjacency contract holds while growing one page at a time
+    reserved_page: Optional[int] = None
 
 
 class PagedCache:
@@ -164,7 +210,9 @@ class ContinuousBatcher:
     def finish(self, seq_id: int):
         for slot, seq in enumerate(self._slots):
             if seq is not None and seq.seq_id == seq_id:
-                self.alloc.free(seq.pages)
+                self.alloc.free(seq.pages
+                                + ([seq.reserved_page]
+                                   if seq.reserved_page is not None else []))
                 self._slots[slot] = None
                 self.context_lens[slot] = 0
                 self.block_table[slot, :] = 0
@@ -184,9 +232,22 @@ class ContinuousBatcher:
             if len(seq.pages) >= self.max_pages:
                 raise MemoryError(f'sequence {seq.seq_id} exceeded '
                                   f'max_pages_per_seq={self.max_pages}')
-            new = self.alloc.alloc(1)
-            seq.pages.extend(new)
-            self.block_table[seq.slot, len(seq.pages) - 1] = new[0]
+            # keep the (2i, 2i+1) physical-adjacency contract while growing
+            # one page at a time: at an even logical index grab a whole
+            # aligned pair and reserve its odd half for the next growth
+            if seq.reserved_page is not None:
+                page = seq.reserved_page
+                seq.reserved_page = None
+            elif len(seq.pages) % 2 == 0:
+                pair = self.alloc.alloc_pair()
+                if pair is not None:
+                    page, seq.reserved_page = pair
+                else:
+                    page = self.alloc.alloc(1)[0]
+            else:
+                page = self.alloc.alloc(1)[0]
+            seq.pages.append(page)
+            self.block_table[seq.slot, len(seq.pages) - 1] = page
 
     def prefill(self, seq_id: int, k: jnp.ndarray, v: jnp.ndarray,
                 ik: jnp.ndarray, isf: jnp.ndarray):

@@ -132,3 +132,48 @@ def test_cache_exhaustion_raises():
     eng.prefill(s1, *prompt_streams(6, BLOCK_KV * 2))
     with pytest.raises(MemoryError):
         eng.step({s1: 1})             # tail page needed, none free
+
+
+def test_page_allocator_pair_alignment():
+    """The allocator's layout contract for the zero-copy kernel's 16KB-DMA
+    coalescing: logical pages (2i, 2i+1) physically adjacent whenever a
+    whole aligned pair is free, graceful singles fallback, pairs recombine
+    on free."""
+    al = PageAllocator(8)
+    a = al.alloc(4)
+    assert a[1] == a[0] + 1 and a[0] % 2 == 0
+    assert a[3] == a[2] + 1 and a[2] % 2 == 0
+    b = al.alloc(3)                  # 1 pair + 1 single (breaks a pair)
+    assert b[1] == b[0] + 1 and b[0] % 2 == 0
+    assert al.num_free == 1
+    al.free(a)
+    al.free(b)
+    assert al.num_free == 8
+    c = al.alloc(8)                  # recombined: all 4 pairs again
+    assert all(c[i + 1] == c[i] + 1 and c[i] % 2 == 0
+               for i in range(0, 8, 2))
+    # odd total: last block is a permanent single
+    al9 = PageAllocator(9)
+    got = al9.alloc(9)
+    assert sorted(got) == list(range(9)) and al9.num_free == 0
+
+
+def test_engine_decode_growth_keeps_pairs():
+    """Decode-time one-page-at-a-time growth preserves the (2i, 2i+1)
+    adjacency via the reserved-odd-half scheme, and finish() releases the
+    reservation."""
+    eng = make_engine(slots=1, num_blocks=8)
+    s = eng.admit(BLOCK_KV)                       # 1 page (even index 0)
+    eng.prefill(s, *prompt_streams(BLOCK_KV, BLOCK_KV))
+    seq = eng._seq(s)
+    assert seq.reserved_page is None or seq.reserved_page == seq.pages[0] + 1
+    for i in range(3 * BLOCK_KV):                 # grow to 4 pages
+        eng.step({s: i})
+    seq = eng._seq(s)
+    assert len(seq.pages) == 4
+    assert seq.pages[1] == seq.pages[0] + 1 and seq.pages[0] % 2 == 0
+    assert seq.pages[3] == seq.pages[2] + 1 and seq.pages[2] % 2 == 0
+    free_before = eng.alloc.num_free
+    eng.finish(s)
+    assert eng.alloc.num_free == 8                # incl. any reservation
+    assert free_before <= 8
