@@ -674,6 +674,27 @@ def main():
         B.emit_op('fp8_paged_mqa_decode_zerocopy', round(gbps_z, 1),
                   'GB/s_effective', round(gbps_z / HBM_GBPS, 3))
 
+        # zero-copy with the serving PageAllocator's PAIR-ALIGNED layout
+        # (logical pages (2i, 2i+1) physically adjacent): the kernel's
+        # dynamic pair-coalescing folds each pair into ONE 16KB DMA —
+        # the measured zc bound is the per-8KB DMA issue cost, so this is
+        # the shipped serving configuration's number (the leg above keeps
+        # the fully-scattered worst case). Same kernel, same bitwise
+        # contract; only the block table differs.
+        pairs_p = rng.permutation(nb // 2)
+        btab_pair = jnp.asarray(
+            np.stack([pairs_p * 2, pairs_p * 2 + 1], 1).reshape(Bp, bps),
+            jnp.int32)
+        loop_pp = _loop(lambda i, q_, w_, kv_, ks_:
+                        dg.fp8_fp4_paged_mqa_logits(
+                            (jnp.roll(q_, i, 0), None), (kv_, ks_), w_, ctx,
+                            btab_pair, max_context_len=mml,
+                            strategy='paged')[0, 0].astype(jnp.float32))
+        t_pp = _device_time_of(loop_pp, (qp, wp, kvq, kvs), 'paged_zc_pair')
+        gbps_p = cache_bytes / t_pp / 1e9
+        B.emit_op('fp8_paged_mqa_decode_zerocopy_paired', round(gbps_p, 1),
+                  'GB/s_effective', round(gbps_p / HBM_GBPS, 3))
+
     B.run('paged', leg_paged)
 
     if B.skipped:

@@ -59,6 +59,12 @@ class PagedMQASpec:
     # lookahead = n_slots - 1 tiles in flight). Scattered 8KB page reads are
     # latency-bound, so deeper lookahead buys real bandwidth.
     n_slots: int = 2
+    # Zero-copy only: coalesce physically-adjacent page PAIRS into one
+    # 2-page DMA (dynamic bt[j+1] == bt[j]+1 check per pair). The per-8KB
+    # DMA issue cost is the measured zc bound (scripts/zc_roofline.py:
+    # 8KB-DMA ceiling 592 GB/s, 16KB 728); the serving PageAllocator's
+    # pair-aligned layout makes adjacency the common case.
+    coalesce: bool = True
 
 
 def _build_paged_mqa(spec: PagedMQASpec):
@@ -205,13 +211,22 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
         pl.BlockSpec((1, 1, tile_kv), lambda b, c: (b, 0, c),
                      memory_space=pltpu.VMEM),                 # linear sf
     ]
+    if spec.coalesce:
+        # per-tile "all page pairs adjacent" flags, precomputed by ONE
+        # vectorized XLA pass in the wrapper (see for_tile_copies)
+        in_specs.append(pl.BlockSpec((b_sz * gkv,), lambda b, c: (0,),
+                                     memory_space=pltpu.SMEM))
     out_spec = pl.BlockSpec((1, nn, tile_kv), lambda b, c: (b, 0, c),
                             memory_space=pltpu.VMEM)
 
     n_slots = max(2, spec.n_slots)
 
-    def kernel(bt_ref, ctx_ref, q_ref, w_ref, kv_hbm, sf_ref, out_ref,
-               kv_vmem, copy_sems):
+    def kernel(bt_ref, ctx_ref, q_ref, w_ref, kv_hbm, sf_ref, *rest):
+        if spec.coalesce:
+            adj_ref, out_ref, kv_vmem, copy_sems = rest
+        else:
+            out_ref, kv_vmem, copy_sems = rest
+            adj_ref = None
         b = pl.program_id(0)
         c = pl.program_id(1)
 
@@ -226,19 +241,57 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
         ctx = row_ctx(b)
         active = c * tile_kv < ctx
 
-        def page_copy(bb, cc, i, slot):
-            page = bt_ref[bb * mb + jnp.minimum(cc * bpt + i, mb - 1)]
+        def _page_at(bb, cc, i):
+            return bt_ref[bb * mb + jnp.minimum(cc * bpt + i, mb - 1)]
+
+        def page_copy(bb, cc, i, slot, npages=1):
+            # kv_vmem is (n_slots, bpt, bkv, d): page i of the tile lands in
+            # row i, so an npages=2 PAIR copy is one contiguous 2-page DMA
+            # (src pl.ds(page, 2) x dst pl.ds(i, 2)) — the 16KB-DMA
+            # coalescing the zc roofline showed lifts the pure-DMA ceiling
+            # 592 -> 728 GB/s (scripts/zc_roofline.py; the per-8KB issue
+            # cost is the bound, not HBM row locality).
+            page = _page_at(bb, cc, i)
             return pltpu.make_async_copy(
-                kv_hbm.at[page],
-                kv_vmem.at[slot, pl.ds(i * bkv, bkv), :],
+                kv_hbm.at[pl.ds(page, npages)],
+                kv_vmem.at[slot, pl.ds(i, npages)],
                 copy_sems.at[slot])
+
+        def for_tile_copies(bb, cc, slot, fn):
+            # Walk tile (bb, cc)'s page DMAs in the coalesced shape: when
+            # the tile's PRECOMPUTED adjacency flag says every page pair is
+            # physically adjacent (adj_ref — one vectorized XLA pass over
+            # the block table per call; the serving PageAllocator's
+            # pair-aligned layout makes this the common case), issue ONE
+            # 2-page DMA per pair; otherwise the plain per-page loop. ONE
+            # SMEM load + branch per tile: a per-PAIR branchy issue loop
+            # measured 243 GB/s vs 433 unconditional — the scalar-core
+            # branch path starved the DMA engines; detection must not live
+            # in the kernel's issue loop. The issue and wait sides branch on
+            # the same flag so every started copy is waited exactly once.
+            if not spec.coalesce or bpt < 2:
+                for i in range(bpt):
+                    fn(page_copy(bb, cc, i, slot))
+                return
+            adj = adj_ref[bb * gkv + jnp.minimum(cc, gkv - 1)] != 0
+
+            @pl.when(adj)
+            def _():
+                for i in range(0, bpt - 1, 2):
+                    fn(page_copy(bb, cc, i, slot, npages=2))
+                if bpt % 2:
+                    fn(page_copy(bb, cc, bpt - 1, slot))
+
+            @pl.when(jnp.logical_not(adj))
+            def _():
+                for i in range(bpt):
+                    fn(page_copy(bb, cc, i, slot))
 
         def issue_tile(bb, cc, slot):
             # issue all pages of tile (bb, cc); inactive tiles issue nothing
             @pl.when((cc * tile_kv < row_ctx(bb)) & (bb < b_sz))
             def _():
-                for i in range(bpt):
-                    page_copy(bb, cc, i, slot).start()
+                for_tile_copies(bb, cc, slot, lambda cp: cp.start())
 
         # linear tile sequence t = b*gkv + c; slot(t) = t mod n_slots;
         # step t issues tile t + (n_slots-1), so n_slots-1 tiles of scattered
@@ -264,13 +317,14 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
             # the bootstrap above), then prefetch tile t+look BEFORE
             # computing, so its DMAs ride under the MXU.
             slot = jax.lax.rem(t_seq, n_slots)
-            for i in range(bpt):
-                page_copy(b, c, i, slot).wait()
+            for_tile_copies(b, c, slot, lambda cp: cp.wait())
             issue_tile(nb, nc, nslot)
 
             q_blk = q_ref[0]
             w3 = w_ref[0].astype(jnp.float32)
-            kv_blk = kv_vmem[slot]
+            # collapse the (bpt, bkv) page rows back to the tile's kv axis —
+            # leading-dim collapse of a loaded value, relayout-free
+            kv_blk = kv_vmem[slot].reshape(tile_kv, d)
             sf_row = sf_ref[0]
             scores = jax.lax.dot_general(
                 q_blk, kv_blk, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -308,7 +362,9 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((n_slots, tile_kv, d), jnp.dtype(spec.kv_dtype)),
+            # page-major ring (see page_copy): row i = page i of the slot's
+            # tile, so adjacent-page PAIR DMAs write pl.ds(i, 2) contiguously
+            pltpu.VMEM((n_slots, bpt, bkv, d), jnp.dtype(spec.kv_dtype)),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
@@ -354,12 +410,16 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
     # for A/B profiling; default measured on chip, see README).
     import os as _os
     n_slots = int(_os.environ.get('DGT_ZC_SLOTS', '4'))
+    # DGT_ZC_COALESCE={0,1} pins the adjacent-page-pair 16KB-DMA coalescing
+    # for A/B profiling (default on; bitwise either way).
+    coalesce = _os.environ.get('DGT_ZC_COALESCE', '1') == '1'
     spec = PagedMQASpec(
         batch_size=b_sz, next_n=nn, num_heads=h, head_dim=d,
         num_kv_blocks=num_blocks, block_kv=bkv, max_blocks_per_seq=mb,
         max_model_len=max_model_len, ctx_2d=ctx_2d,
         logits_dtype=str(jnp.dtype(logits_dtype)), tile_kv=tile_kv,
-        linear_cache=linear, kv_dtype=str(kv_cache.dtype), n_slots=n_slots)
+        linear_cache=linear, kv_dtype=str(kv_cache.dtype), n_slots=n_slots,
+        coalesce=coalesce)
     builder = _build_paged_mqa if linear else _build_paged_mqa_zerocopy
     fn = kernel_cache().get_or_build(spec, lambda: builder(spec))
 
@@ -381,5 +441,22 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
         args = [ctx, q3, w3, kv_lin, sf_lin]
     else:
         args = [bt, ctx, q3, w3, kv_cache, sf_lin]
+        if spec.coalesce:
+            # per-tile "all page pairs adjacent" flags (one vectorized pass
+            # over the table — replicates the kernel's clamped page lookup
+            # exactly, including the repeated-last-page tail of short rows)
+            import numpy as np
+            bpt = spec.tile_kv // bkv
+            gkv = ceil_div(max_model_len, spec.tile_kv)
+            idx = np.minimum(np.arange(gkv * bpt), mb - 1)
+            bt_tiles = bt2[:, idx].reshape(b_sz, gkv, bpt)
+            if bpt >= 2:
+                npairs = (bpt // 2) * 2
+                pair_adj = (bt_tiles[:, :, 1:npairs:2]
+                            == bt_tiles[:, :, 0:npairs - 1:2] + 1)
+                adj = jnp.all(pair_adj, axis=2)
+            else:
+                adj = jnp.zeros((b_sz, gkv), bool)
+            args.append(adj.reshape(-1).astype(jnp.int32))
     out = fn(*args)
     return out.reshape(b_sz * nn, max_model_len)

@@ -259,6 +259,50 @@ def test_paged_strategies_bitwise(d):
     assert_bitwise_equal(b, a)
 
 
+@pytest.mark.parametrize('layout', ('paired', 'offset', 'scattered'))
+def test_paged_zerocopy_coalesce_bitwise(monkeypatch, layout):
+    """The zero-copy kernel's adjacent-page-pair DMA coalescing is bitwise
+    vs both the non-coalesced kernel and the gather strategy, for:
+      paired    — fully pair-aligned table (every even j: bt[j+1]=bt[j]+1,
+                  the serving PageAllocator layout; all pairs coalesce)
+      offset    — ascending run shifted by one: coalesced pairs start on
+                  ODD page values ((1,2), (3,4), ...) and the row wraps to
+                  page 0 at the end (a non-adjacent tail pair)
+      scattered — random permutation (mixed, whatever adjacency falls out)
+    """
+    rng = np.random.RandomState(17)
+    B, nn, h, d = 3, 1, 4, 128
+    block_kv, max_ctx = 64, 512
+    bps = max_ctx // block_kv
+    nblocks = B * bps
+    if layout == 'paired':
+        pairs = rng.permutation(nblocks // 2)
+        bt_np = np.stack([pairs * 2, pairs * 2 + 1], 1).reshape(B, bps)
+    elif layout == 'offset':
+        bt_np = (np.arange(nblocks).reshape(B, bps) + 1) % nblocks
+    else:
+        bt_np = rng.permutation(nblocks).reshape(B, bps)
+    bt = jnp.asarray(bt_np, jnp.int32)
+    q = jnp.clip(jnp.asarray(rng.randn(B, nn, h, d), jnp.float32),
+                 -448, 448).astype(jnp.float8_e4m3fn)
+    w = jnp.asarray(rng.randn(B * nn, h).astype(np.float32))
+    ctx = jnp.asarray(rng.randint(32, max_ctx, B), jnp.int32)
+    kvv = jnp.asarray(rng.randn(nblocks, block_kv, d), jnp.float8_e4m3fn)
+    kvs = jnp.asarray(rng.rand(nblocks, block_kv).astype(np.float32))
+
+    def run(strategy):
+        return dg.fp8_fp4_paged_mqa_logits(
+            (q, None), (kvv, kvs), w, ctx, bt,
+            max_context_len=max_ctx, strategy=strategy)
+
+    monkeypatch.setenv('DGT_ZC_COALESCE', '1')
+    zc_co = run('paged')
+    monkeypatch.setenv('DGT_ZC_COALESCE', '0')
+    zc_plain = run('paged')
+    assert_bitwise_equal(zc_plain, zc_co)
+    assert_bitwise_equal(run('gather'), zc_co)
+
+
 def test_fp4_mqa_logits():
     """FP4 q/kv prefill (per-32 packed-UE8M0 SF) — the SM100 FP4 family
     (/root/reference/tests/test_attention.py:170-180): exact decode into
