@@ -495,6 +495,11 @@ def main():
         # block_m lift CANNOT raise bm past 128 — the scalar-prefetch-gap
         # case. Driver-visible so regressions here are caught (VERDICT r2
         # weak #5). Uneven 128-multiples: 896/1152 alternate.
+        if not {'bq', 'sfb_t', 'tf_g256'} <= st.keys():
+            # dependency, not a failure: the grouped leg was budget-skipped
+            # or failed, so its B operands/reference rate never materialized
+            print('[bench] SKIP grouped_align128: grouped leg unavailable')
+            return
         mpg_list = [896 if g % 2 == 0 else 1152 for g in range(G)]
         m128 = sum(mpg_list)
         ids128 = jnp.asarray(np.repeat(np.arange(G, dtype=np.int32),

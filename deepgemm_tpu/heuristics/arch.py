@@ -48,6 +48,20 @@ class ArchSpec:
     min_sublanes: Dict[int, int] = dataclasses.field(
         default_factory=lambda: {1: 32, 2: 16, 4: 8})
 
+    def swap_ab_profitable(self, m: int, n: int, k: int, cfg,
+                           is_scaled: bool, is_grouped: bool) -> bool:
+        """Whether the swap-AB kernel body (weights as the MXU LHS, see
+        kernels/common.py:promote_block_swapped) should be the default for
+        this shape — the TPU policy analog of the reference's mandatory
+        swap-AB m-grouped layouts
+        (/root/reference/csrc/jit_kernels/heuristics/sm100.hpp:31-43).
+
+        HBM traffic is orientation-invariant on TPU (restream counts are
+        set by tile sizes, not operand roles), so the decision is purely
+        the measured MXU-pipeline height effect. Default False until the
+        r5 on-chip A/B lands; DGT_DENSE_SWAP_AB pins."""
+        return False
+
 
 _ARCHS = {
     'v4': ArchSpec(name='v4', vmem_budget=12 * MiB + 512 * 1024, mxu_dim=128,

@@ -52,6 +52,40 @@ def promote_block(spec, bk: int, k: int, a_blk, b_blk, sfa_blk, sfb_blk):
     return total
 
 
+def promote_block_swapped(spec, bk: int, k: int, a_blk, b_blk,
+                          sfa_blk, sfb_blk):
+    """Swap-AB variant of :func:`promote_block`: each sub-block dot is
+    ``b_s @ a_s^T`` so the (usually taller) N/weight side is the MXU LHS —
+    the TPU analog of the reference's mandatory swap-AB layouts for
+    m-grouped GEMMs (/root/reference/csrc/jit_kernels/heuristics/sm100.hpp:31-43),
+    where swapping puts the group-alignment constraint on a fixed dimension
+    and frees the other MMA dimension.
+
+    Returns the TRANSPOSED partial (bn, bm); the caller transposes once at
+    the final k step. BITWISE-equal to promote_block elementwise: output
+    element (j, i) is the same dot product with the same accumulation
+    order, and the scale application keeps the original multiply order
+    ``(p * sfb) * sfa`` per element.
+
+    ``sfa_blk`` is this k-step's [nsub_a, bm] slice (k-first — note the
+    TRANSPOSED required orientation vs promote_block) and ``sfb_blk`` its
+    [bn, nsub_b] slice (dim-major), so both in-kernel scale selects stay
+    static natural-orientation slices (row vector / column vector) with no
+    lane<->sublane relayout.
+    """
+    gka, gkb = spec.gran_k_a, spec.gran_k_b
+    gsub = min(gka, gkb)
+    total = None
+    for s in range(bk // gsub):
+        a_s = k_slice(a_blk, getattr(spec, 'a_kmajor', True), s * gsub, gsub)
+        b_s = k_slice(b_blk, spec.b_kmajor, s * gsub, gsub)
+        p = dot_mn(b_s, a_s, spec.b_kmajor, getattr(spec, 'a_kmajor', True))
+        sa, sb = s * gsub // gka, s * gsub // gkb
+        term = (p * sfb_blk[:, sb:sb + 1]) * sfa_blk[sa:sa + 1, :]
+        total = term if total is None else total + term
+    return total
+
+
 def ici_entry_barrier(axis_name: str, num_devices: int):
     """Cross-rank entry barrier before one-sided RDMA — the TPU analog of
     the reference's nvlink_barrier (/root/reference/deep_gemm/include/

@@ -42,7 +42,8 @@ from ..heuristics.configs import GemmConfig, get_gemm_config
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend
 from ..utils.math import align, ceil_div
-from .common import dot_mn, k_slice, mask_k_tail, promote_block
+from .common import (dot_mn, k_slice, mask_k_tail, promote_block,
+                     promote_block_swapped)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +70,16 @@ class DenseGemmSpec:
     # bound deployments; the default ops-layer decode runs ONCE at weight
     # load and serves from bf16.
     b_packed_fp4: bool = False
+    # Swap-AB kernel body (TPU analog of the reference's mandatory swap-AB
+    # m-grouped layouts, /root/reference/csrc/jit_kernels/heuristics/sm100.hpp:31-43):
+    # each k-step dot is ``b_blk @ a_blk^T`` so the N/weight side is the MXU
+    # LHS (sublane-tall) and the (small or group-pinned) M side rides the
+    # lanes; the partial accumulates transposed (bn, bm) and ONE f32
+    # transpose at the final k step restores (bm, bn). Same tiles, same
+    # BlockSpecs, same HBM traffic — the variant isolates the MXU-pipeline
+    # height effect. Bitwise-equal to the plain kernel (see
+    # common.promote_block_swapped).
+    swap_ab: bool = False
 
 
 def _sf_spec(kmajor_like_operand: bool, nsub: int, bdim: int, idx_pos: int):
@@ -142,7 +153,8 @@ def decode_fp4_planar_block(p_blk, bn: int, bk: int):
         e = ((c >> 1) & 3).astype(jnp.float32)
         s = ((c >> 3) & 1).astype(jnp.float32)
         mag = jnp.where(e == 0, 0.5 * m, (1 + 0.5 * m) * jnp.exp2(e - 1))
-        return jnp.where(s > 0, -mag, mag)
+        # code 0x8 (-0.0) -> +0.0, matching _dequantize_from_fp4_e2m1
+        return jnp.where((s > 0) & ((c & 7) != 0), -mag, mag)
 
     nk256 = bk // 256
     lo_v = dec(lo).reshape(bn, nk256, 128)
@@ -182,9 +194,15 @@ def _build_dense_gemm(spec: DenseGemmSpec):
 
     nsub_a, nsub_b = bk // gka, bk // gkb
     if is_scaled:
-        # Per-k-step SF blocks via index maps (see _sf_spec).
-        sfa_kmaj = spec.a_kmajor if dequant else True
-        sfb_kmaj = spec.b_kmajor if dequant else False
+        # Per-k-step SF blocks via index maps (see _sf_spec). The swap-AB
+        # promote kernel consumes TRANSPOSED SF orientations (sfa k-first,
+        # sfb dim-major) so its scale selects are natural row/column vectors
+        # against the (bn, bm) partial — see promote_block_swapped.
+        if spec.swap_ab and not dequant:
+            sfa_kmaj, sfb_kmaj = False, True
+        else:
+            sfa_kmaj = spec.a_kmajor if dequant else True
+            sfb_kmaj = spec.b_kmajor if dequant else False
         in_specs.append(_sf_spec(sfa_kmaj, nsub_a, bm, idx_pos=0))
         in_specs.append(_sf_spec(sfb_kmaj, nsub_b, bn, idx_pos=1))
 
@@ -224,13 +242,20 @@ def _build_dense_gemm(spec: DenseGemmSpec):
             b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
 
         if not is_scaled:
-            part = dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor)
+            part = (dot_mn(b_blk, a_blk, spec.b_kmajor, spec.a_kmajor)
+                    if spec.swap_ab else
+                    dot_mn(a_blk, b_blk, spec.a_kmajor, spec.b_kmajor))
         elif dequant:
             sfa_exp = _expand_sf(sfa_ref[0], spec.a_kmajor, gka)
             sfb_exp = _expand_sf(sfb_ref[0], spec.b_kmajor, gkb)
             a_s = a_blk.astype(jnp.bfloat16) * sfa_exp.astype(jnp.bfloat16)
             b_s = b_blk.astype(jnp.bfloat16) * sfb_exp.astype(jnp.bfloat16)
-            part = dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor)
+            part = (dot_mn(b_s, a_s, spec.b_kmajor, spec.a_kmajor)
+                    if spec.swap_ab else
+                    dot_mn(a_s, b_s, spec.a_kmajor, spec.b_kmajor))
+        elif spec.swap_ab:
+            part = promote_block_swapped(spec, bk, k, a_blk, b_blk,
+                                         sfa_ref[0], sfb_ref[0])
         else:
             # Exact promotion over scale-granularity sub-blocks (reference:
             # sm90_fp8_gemm_1d2d.cuh:332-347). FP8 operands feed the MXU
@@ -239,24 +264,28 @@ def _build_dense_gemm(spec: DenseGemmSpec):
             part = promote_block(spec, bk, k, a_blk, b_blk,
                                  sfa_ref[0], sfb_ref[0])
 
+        def _store(res):
+            # swap-AB: the partial lives transposed (bn, bm); ONE f32
+            # transpose per output tile restores (bm, bn) — amortized over
+            # the whole k depth, ~bm*bn VPU elements vs 2*bm*bn*k MXU flops.
+            if spec.swap_ab:
+                res = res.T
+            if spec.accumulate:
+                res = res + c_ref[:].astype(jnp.float32)
+            d_ref[:] = res.astype(out_dtype)
+
         if gk == 1:
             # Single full-depth k step (the measured-best deep-k configs):
             # write d directly — no acc zero/read/write roundtrip, and the
             # freed (bm, bn) f32 scratch stays available to the pipeline.
             # Bitwise-identical: acc would be 0 + part.
-            res = part
-            if spec.accumulate:
-                res = res + c_ref[:].astype(jnp.float32)
-            d_ref[:] = res.astype(out_dtype)
+            _store(part)
         else:
             acc_ref[:] += part
 
             @pl.when(ki == gk - 1)
             def _():
-                res = acc_ref[:]
-                if spec.accumulate:
-                    res = res + c_ref[:].astype(jnp.float32)
-                d_ref[:] = res.astype(out_dtype)
+                _store(acc_ref[:])
 
     flops = 2 * m * n * k
     call = pl.pallas_call(
@@ -266,7 +295,8 @@ def _build_dense_gemm(spec: DenseGemmSpec):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=([] if gk == 1 else
-                        [pltpu.VMEM((bm, bn), jnp.float32)]),
+                        [pltpu.VMEM((bn, bm) if spec.swap_ab else (bm, bn),
+                                    jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary'),
         ),
@@ -297,6 +327,7 @@ def dense_gemm(a: jnp.ndarray, b: jnp.ndarray,
                out_dtype=jnp.bfloat16,
                scale_strategy: str = 'promote',
                b_packed_fp4: bool = False,
+               swap_ab: Optional[bool] = None,
                cfg: Optional[GemmConfig] = None) -> jnp.ndarray:
     """d[m, n] (+= c) = a @ b^T with optional block-scale dequant.
 
@@ -315,12 +346,30 @@ def dense_gemm(a: jnp.ndarray, b: jnp.ndarray,
                               scale_strategy=scale_strategy if is_scaled else None)
     if b_packed_fp4 and cfg.block_k % 256 != 0:
         cfg = dataclasses.replace(cfg, block_k=max(256, cfg.block_k // 256 * 256))
+    if swap_ab is None:
+        # DGT_DENSE_SWAP_AB={0,1} pins for A/B profiling; the default is
+        # measured policy (see heuristics/arch.py swap_ab_profitable).
+        import os as _os
+        env = _os.environ.get('DGT_DENSE_SWAP_AB')
+        if env is not None:
+            swap_ab = env == '1'
+        else:
+            from ..heuristics.arch import detect_arch
+            swap_ab = detect_arch().swap_ab_profitable(
+                m, n, k, cfg, is_scaled=is_scaled, is_grouped=False)
+    if swap_ab and not is_cpu_backend() \
+            and cfg.block_m % 128 != 0 and cfg.block_m != m:
+        # Swap-AB puts block_m on the LANE dim (out tile, acc scratch, and
+        # the swapped sfa's minor dim): Mosaic requires it be a multiple of
+        # 128 or the whole array dim. Interpret mode still exercises the
+        # swapped body on small test shapes.
+        swap_ab = False
     spec = DenseGemmSpec(
         m=m, n=n, k=k, a_kmajor=a_kmajor, b_kmajor=b_kmajor,
         a_dtype=str(a.dtype), b_dtype=str(b.dtype), out_dtype=str(jnp.dtype(out_dtype)),
         accumulate=c is not None, is_scaled=is_scaled,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b, cfg=cfg,
-        b_packed_fp4=b_packed_fp4)
+        b_packed_fp4=b_packed_fp4, swap_ab=bool(swap_ab))
     fn = kernel_cache().get_or_build(spec, lambda: _build_dense_gemm(spec))
 
     args = [a, b]
@@ -329,8 +378,14 @@ def dense_gemm(a: jnp.ndarray, b: jnp.ndarray,
         # the leading dim (Mosaic-friendly per-step SF delivery)
         gk = ceil_div(k, cfg.block_k)
         nsub_a, nsub_b = cfg.block_k // gran_k_a, cfg.block_k // gran_k_b
-        sfa_kl, sfb_kl = required_sf_orientation(cfg.scale_strategy,
-                                                 a_kmajor, b_kmajor)
+        if spec.swap_ab and cfg.scale_strategy == 'promote':
+            # swapped kernel consumes transposed SF orientations (host-side
+            # transposes of tiny f32 arrays; see promote_block_swapped)
+            sfa, sfb_t = sfa.T, sfb_t.T
+            sfa_kl, sfb_kl = False, True
+        else:
+            sfa_kl, sfb_kl = required_sf_orientation(cfg.scale_strategy,
+                                                     a_kmajor, b_kmajor)
         sfa = sf_to_stepped(pad_sf_k(sfa, gk * nsub_a, k_last=sfa_kl),
                             gk, nsub_a, k_last=sfa_kl)
         sfb_t = sf_to_stepped(pad_sf_k(sfb_t, gk * nsub_b, k_last=sfb_kl),

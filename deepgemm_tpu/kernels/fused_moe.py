@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..runtime.config import is_cpu_backend
+from ..runtime.config import interpret_params, is_cpu_backend
 from .common import ici_entry_barrier
 
 
@@ -142,7 +142,7 @@ def _call(send_x, w, *, axis_name: str, num_devices: int, block_n: int,
     scaled = send_sf is not None
     kernel = functools.partial(_kernel, num_devices=num_devices,
                                axis_name=axis_name, scaled=scaled)
-    interpret = pltpu.InterpretParams() if is_cpu_backend() else False
+    interpret = interpret_params() if is_cpu_backend() else False
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]        # send slabs (HBM)
     inputs = [send_x]
@@ -220,7 +220,12 @@ def _decode_fp4_chunk(wp, c, gran_k):
     e = ((code >> 1) & 3).astype(jnp.float32)
     s = ((code >> 3) & 1).astype(jnp.float32)
     mag = jnp.where(e == 0, 0.5 * m, (1 + 0.5 * m) * jnp.exp2(e - 1))
-    return jnp.where(s > 0, -mag, mag).astype(jnp.float8_e4m3fn)
+    # Code 0x8 (negative zero) decodes to +0.0, matching the reference
+    # dequant and utils/math._dequantize_from_fp4_e2m1 (sign applied only
+    # when value_idx != 0) so all-signed-zero accumulations stay bitwise
+    # vs the pre-decoded-fp8 baseline (ADVICE r4).
+    return jnp.where((s > 0) & ((code & 7) != 0), -mag, mag) \
+        .astype(jnp.float8_e4m3fn)
 
 
 def _promote_dot(xq, wq, sfa_at, wsf, gran_k, w_fp4: bool = False):
@@ -306,11 +311,13 @@ def _l1_epilogue(gu, rw_col, act_vmem, actsf_vmem, *, bn1, col0, scaled,
     # work from the single issue stream (~17 us/call at serving dims) and
     # is again MORE precise (silu consumes the dot's full-f32 result).
     if act_bf16:
-        # The clamp exists to keep |act| inside the fp8 e4m3 requant range
-        # (reference: sm100_fp8_fp4_mega_moe.cuh epilogue). With no requant
-        # the bf16 act cannot overflow — dropping the clip removes 2 VPU
-        # ops/element from the exposed single issue stream.
-        act = _silu(gate, 'tanh') * up * rw_col
+        # The clamp is part of the COMPUTED function, not just fp8-range
+        # protection: the reference epilogue always clamps silu(gate)*up at
+        # ±clamp (sm100_fp8_fp4_mega_moe.cuh epilogue), and activation
+        # outliers past it are real in MoE models — so the bf16-act mode
+        # keeps it (2 VPU ops/element, measured noise next to the 17us cast
+        # savings; ADVICE r4). Only the requant chain is skipped here.
+        act = jnp.clip(_silu(gate, 'tanh') * up, -clamp, clamp) * rw_col
     else:
         act = jnp.clip(_silu(gate) * up, -clamp, clamp) * rw_col
     if scaled and not act_bf16:
@@ -1088,7 +1095,7 @@ def fused_mega_moe(send_x: jnp.ndarray, rw_steps: jnp.ndarray,
         if send_sf.shape[-1] != ksf_pad:
             send_sf = jnp.pad(send_sf, ((0, 0), (0, 0), (0, 0),
                                         (0, ksf_pad - send_sf.shape[-1])))
-    interpret = pltpu.InterpretParams() if is_cpu_backend() else False
+    interpret = interpret_params() if is_cpu_backend() else False
 
     if num_devices == 1 and not force_general:
         # D=1 local fast path: there are no peers, so the RDMA machinery, the

@@ -29,7 +29,8 @@ from ..heuristics.configs import GemmConfig, get_gemm_config
 from ..runtime.cache import kernel_cache
 from ..runtime.config import is_cpu_backend, runtime
 from ..utils.math import align, ceil_div
-from .common import dot_mn, k_slice, mask_k_tail, promote_block
+from .common import (dot_mn, k_slice, mask_k_tail, promote_block,
+                     promote_block_swapped)
 from .dense import pad_sf_k, sf_to_stepped
 
 
@@ -82,6 +83,15 @@ class GroupedGemmSpec:
     # blocks the same way (scheduler/gemm.cuh:200-216). Correct for ANY
     # masked_m; chosen on the expected_m hint only.
     pf_skip: bool = False
+    # Swap-AB kernel body (the reference's MANDATORY layout for m-grouped
+    # GEMMs, /root/reference/csrc/jit_kernels/heuristics/sm100.hpp:31-43):
+    # per-tile dots run ``b_blk @ a_blk^T`` so the weight side is the MXU
+    # LHS (sublane-tall) while the group-alignment-pinned token side rides
+    # the 128 lanes; one f32 transpose per output tile restores (bm, bn).
+    # Same tiles/BlockSpecs/HBM traffic — isolates the dot-height effect
+    # behind the align128 gap. Bitwise-equal to the plain body (see
+    # kernels/common.py:promote_block_swapped).
+    swap_ab: bool = False
 
 
 def _build_contiguous(spec: GroupedGemmSpec):
@@ -124,13 +134,26 @@ def _build_contiguous(spec: GroupedGemmSpec):
     if spec.is_scaled:
         # per-k-step SF slices from stepped SF arrays (exact f32; see
         # dense.sf_to_stepped): sfa [gk, m, nsub_a], sfb [gk, G, nsub_b, n]
-        in_specs.append(pl.BlockSpec((1, bm, nsub_a),
-                                     lambda i, j, s, *pf: (s, i, 0),
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec(
-            (1, 1, nsub_b, bn),
-            lambda i, j, s, *pf: (s, _gid(i, pf), 0, j),
-            memory_space=pltpu.VMEM))
+        # — or the TRANSPOSED orientations for the swap-AB body, so its
+        # scale selects stay natural row/column vectors (see
+        # common.promote_block_swapped): sfa [gk, nsub_a, m],
+        # sfb [gk, G, n, nsub_b].
+        if spec.swap_ab:
+            in_specs.append(pl.BlockSpec((1, nsub_a, bm),
+                                         lambda i, j, s, *pf: (s, 0, i),
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, bn, nsub_b),
+                lambda i, j, s, *pf: (s, _gid(i, pf), j, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec((1, bm, nsub_a),
+                                         lambda i, j, s, *pf: (s, i, 0),
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, nsub_b, bn),
+                lambda i, j, s, *pf: (s, _gid(i, pf), 0, j),
+                memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((bm, bn), lambda i, j, s, *pf: (i, j),
                             memory_space=pltpu.VMEM)
 
@@ -157,12 +180,21 @@ def _build_contiguous(spec: GroupedGemmSpec):
             b_blk = mask_k_tail(b_blk, spec.b_kmajor, ki * bk, k)
 
         if spec.is_scaled:
-            part = promote_block(spec, bk, k, a_blk, b_blk,
-                                 refs[2][0], refs[3][0, 0])
+            part = (promote_block_swapped(spec, bk, k, a_blk, b_blk,
+                                          refs[2][0], refs[3][0, 0])
+                    if spec.swap_ab else
+                    promote_block(spec, bk, k, a_blk, b_blk,
+                                  refs[2][0], refs[3][0, 0]))
+        elif spec.swap_ab:
+            part = dot_mn(b_blk, a_blk, spec.b_kmajor, True)
         else:
             part = dot_mn(a_blk, b_blk, True, spec.b_kmajor)
 
         def _epilogue(res):
+            if spec.swap_ab:
+                # partial lives transposed (bn, bm); one f32 transpose per
+                # output tile restores (bm, bn)
+                res = res.T
             if spec.zero_padded_rows and n_pf:
                 # psum-layout `ensure_zero_padding`: zero d rows past the
                 # group's end (/root/reference/tests/test_fp8_fp4.py:22-30).
@@ -188,7 +220,8 @@ def _build_contiguous(spec: GroupedGemmSpec):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=([] if gk == 1 else
-                        [pltpu.VMEM((bm, bn), jnp.float32)]),
+                        [pltpu.VMEM((bn, bm) if spec.swap_ab else (bm, bn),
+                                    jnp.float32)]),
     )
     call = pl.pallas_call(
         kernel,
@@ -242,14 +275,24 @@ def _build_masked(spec: GroupedGemmSpec):
         ]
         nsub_a, nsub_b = bk // spec.gran_k_a, bk // spec.gran_k_b
         if spec.is_scaled:
-            in_specs.append(pl.BlockSpec(
-                (1, 1, bm, nsub_a),
-                _ab(lambda e, i, j, s, g_: (g_(s), e, g_(i), 0)),
-                memory_space=pltpu.VMEM))
-            in_specs.append(pl.BlockSpec(
-                (1, 1, nsub_b, bn),
-                _ab(lambda e, i, j, s, g_: (g_(s), e, 0, g_(j))),
-                memory_space=pltpu.VMEM))
+            if spec.swap_ab:
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, nsub_a, bm),
+                    _ab(lambda e, i, j, s, g_: (g_(s), e, 0, g_(i))),
+                    memory_space=pltpu.VMEM))
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, bn, nsub_b),
+                    _ab(lambda e, i, j, s, g_: (g_(s), e, g_(j), 0)),
+                    memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, bm, nsub_a),
+                    _ab(lambda e, i, j, s, g_: (g_(s), e, g_(i), 0)),
+                    memory_space=pltpu.VMEM))
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, nsub_b, bn),
+                    _ab(lambda e, i, j, s, g_: (g_(s), e, 0, g_(j))),
+                    memory_space=pltpu.VMEM))
         out_spec = pl.BlockSpec((1, bm, bn),
                                 lambda e, i, j, s, mref: (e, i, j),
                                 memory_space=pltpu.VMEM)
@@ -270,12 +313,21 @@ def _build_masked(spec: GroupedGemmSpec):
         nsub_a, nsub_b = bk // spec.gran_k_a, bk // spec.gran_k_b
         if spec.is_scaled:
             # stepped SFs: sfa [gk, G, max_m, nsub_a], sfb [gk, G, nsub_b, n]
-            in_specs.append(pl.BlockSpec((1, 1, bm, nsub_a),
-                                         lambda e, i, j, s: (s, e, i, 0),
-                                         memory_space=pltpu.VMEM))
-            in_specs.append(pl.BlockSpec((1, 1, nsub_b, bn),
-                                         lambda e, i, j, s: (s, e, 0, j),
-                                         memory_space=pltpu.VMEM))
+            # (swap-AB: transposed minor dims, see the contiguous builder)
+            if spec.swap_ab:
+                in_specs.append(pl.BlockSpec((1, 1, nsub_a, bm),
+                                             lambda e, i, j, s: (s, e, 0, i),
+                                             memory_space=pltpu.VMEM))
+                in_specs.append(pl.BlockSpec((1, 1, bn, nsub_b),
+                                             lambda e, i, j, s: (s, e, j, 0),
+                                             memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec((1, 1, bm, nsub_a),
+                                             lambda e, i, j, s: (s, e, i, 0),
+                                             memory_space=pltpu.VMEM))
+                in_specs.append(pl.BlockSpec((1, 1, nsub_b, bn),
+                                             lambda e, i, j, s: (s, e, 0, j),
+                                             memory_space=pltpu.VMEM))
         out_spec = pl.BlockSpec((1, bm, bn), lambda e, i, j, s: (e, i, j),
                                 memory_space=pltpu.VMEM)
 
@@ -297,16 +349,24 @@ def _build_masked(spec: GroupedGemmSpec):
                 b_blk = mask_k_tail(b_blk, True, ki * bk, k)
 
             if spec.is_scaled:
-                part = promote_block(spec, bk, k, a_blk, b_blk,
-                                     refs[2][0, 0], refs[3][0, 0])
+                part = (promote_block_swapped(spec, bk, k, a_blk, b_blk,
+                                              refs[2][0, 0], refs[3][0, 0])
+                        if spec.swap_ab else
+                        promote_block(spec, bk, k, a_blk, b_blk,
+                                      refs[2][0, 0], refs[3][0, 0]))
+            elif spec.swap_ab:
+                part = dot_mn(b_blk, a_blk, True, True)
             else:
                 part = dot_mn(a_blk, b_blk, True, True)
+
+            def _store(res):
+                d_ref[0] = (res.T if spec.swap_ab else res).astype(out_dtype)
 
             if gk == 1:
                 # Single full-depth k step (the measured-best config): write
                 # d directly, skipping the acc VMEM zero/read/write roundtrip
                 # (bitwise-identical: acc would be 0 + part).
-                d_ref[0] = part.astype(out_dtype)
+                _store(part)
             else:
                 @pl.when(ki == 0)
                 def _():
@@ -316,7 +376,7 @@ def _build_masked(spec: GroupedGemmSpec):
 
                 @pl.when(ki == gk - 1)
                 def _():
-                    d_ref[0] = acc_ref[:].astype(out_dtype)
+                    _store(acc_ref[:])
 
         if spec.no_early_exit:
             # Unpredicated body (see the spec field's docstring): rows past
@@ -337,7 +397,8 @@ def _build_masked(spec: GroupedGemmSpec):
         # gk==1 writes d directly — dropping the scratch frees a (bm, bn)
         # f32 block of VMEM for wider tiles
         scratch_shapes=([] if gk == 1 else
-                        [pltpu.VMEM((bm, bn), jnp.float32)]),
+                        [pltpu.VMEM((bn, bm) if spec.swap_ab else (bm, bn),
+                                    jnp.float32)]),
     )
     call = pl.pallas_call(
         kernel,
@@ -391,6 +452,7 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
                               gran_k_a: int = 128, gran_k_b: int = 128,
                               out_dtype=jnp.bfloat16,
                               ensure_zero_padding: bool = False,
+                              swap_ab: Optional[bool] = None,
                               cfg: Optional[GemmConfig] = None) -> jnp.ndarray:
     m, k = a.shape
     num_groups = b.shape[0]
@@ -487,13 +549,28 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
         if monotone and bool(_np.all(starts % cfg.block_m == 0)):
             static_starts = tuple(int(s) // cfg.block_m for s in starts[1:])
 
+    if swap_ab is None:
+        # DGT_GROUPED_SWAP_AB={0,1} pins for A/B profiling.
+        _env_sw = _os.environ.get('DGT_GROUPED_SWAP_AB')
+        if _env_sw is not None:
+            swap_ab = _env_sw == '1'
+        else:
+            from ..heuristics.arch import detect_arch
+            swap_ab = detect_arch().swap_ab_profitable(
+                m, n, k, cfg, is_scaled=is_scaled, is_grouped=True)
+    if swap_ab and not is_cpu_backend() \
+            and cfg.block_m % 128 != 0 and cfg.block_m != m:
+        # swap-AB puts block_m on the LANE dim (swapped sfa minor dim);
+        # Mosaic needs %128 or the whole array dim (see dense.py gate)
+        swap_ab = False
     spec = GroupedGemmSpec(
         kind='contiguous', num_groups=num_groups, m=m, n=n, k=k,
         b_kmajor=b_kmajor, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
         out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b,
         zero_padded_rows=ensure_zero_padding, cfg=cfg,
-        static_tpg=static_tpg, static_tile_starts=static_starts)
+        static_tpg=static_tpg, static_tile_starts=static_starts,
+        swap_ab=bool(swap_ab))
     fn = kernel_cache().get_or_build(spec, lambda: _build_contiguous(spec))
 
     if static_tpg is not None or static_starts is not None:
@@ -509,6 +586,12 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
                             gk, nsub_a, k_last=True)
         sfb_t = sf_to_stepped(pad_sf_k(sfb_t, gk * nsub_b, k_last=False),
                               gk, nsub_b, k_last=False)
+        if spec.swap_ab:
+            # transposed minor dims for the swapped kernel's natural-slice
+            # scale selects: [gk, m, nsub] -> [gk, nsub, m],
+            # [gk, G, nsub, n] -> [gk, G, n, nsub]
+            sfa = jnp.swapaxes(sfa, 1, 2)
+            sfb_t = jnp.swapaxes(sfb_t, 2, 3)
         args += [sfa, sfb_t]
     return fn(*args)
 
@@ -516,6 +599,7 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
 def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
                           gran_k_a: int = 128, gran_k_b: int = 128,
                           out_dtype=jnp.bfloat16, expected_m: Optional[int] = None,
+                          swap_ab: Optional[bool] = None,
                           cfg: Optional[GemmConfig] = None) -> jnp.ndarray:
     num_groups, max_m, k = a.shape
     n = b.shape[1]
@@ -578,12 +662,26 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
     else:
         pf_skip = (not no_exit and expected_m is not None
                    and expected_m * 2 <= max_m)
+    if swap_ab is None:
+        # DGT_MASKED_SWAP_AB={0,1} pins for A/B profiling.
+        _env_sw = _os.environ.get('DGT_MASKED_SWAP_AB')
+        if _env_sw is not None:
+            swap_ab = _env_sw == '1'
+        else:
+            from ..heuristics.arch import detect_arch
+            swap_ab = detect_arch().swap_ab_profitable(
+                max_m, n, k, cfg, is_scaled=is_scaled, is_grouped=True)
+    if swap_ab and not is_cpu_backend() \
+            and cfg.block_m % 128 != 0 and cfg.block_m != max_m:
+        # swap-AB puts block_m on the LANE dim (swapped sfa minor dim);
+        # Mosaic needs %128 or the whole array dim (see dense.py gate)
+        swap_ab = False
     spec = GroupedGemmSpec(
         kind='masked', num_groups=num_groups, m=max_m, n=n, k=k,
         b_kmajor=True, a_dtype=str(a.dtype), b_dtype=str(b.dtype),
         out_dtype=str(jnp.dtype(out_dtype)), is_scaled=is_scaled,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b, zero_padded_rows=False, cfg=cfg,
-        no_early_exit=no_exit, pf_skip=pf_skip)
+        no_early_exit=no_exit, pf_skip=pf_skip, swap_ab=bool(swap_ab))
     fn = kernel_cache().get_or_build(spec, lambda: _build_masked(spec))
 
     args = [masked_m.astype(jnp.int32), a, b]
@@ -594,5 +692,11 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
                             gk, nsub_a, k_last=True)
         sfb_t = sf_to_stepped(pad_sf_k(sfb_t, gk * nsub_b, k_last=False),
                               gk, nsub_b, k_last=False)
+        if spec.swap_ab:
+            # transposed minor dims (see the contiguous call site):
+            # sfa [gk, G, max_m, nsub] -> [gk, G, nsub, max_m],
+            # sfb [gk, G, nsub, n] -> [gk, G, n, nsub]
+            sfa = jnp.swapaxes(sfa, 2, 3)
+            sfb_t = jnp.swapaxes(sfb_t, 2, 3)
         args += [sfa, sfb_t]
     return fn(*args)

@@ -59,11 +59,12 @@ class PagedMQASpec:
     # lookahead = n_slots - 1 tiles in flight). Scattered 8KB page reads are
     # latency-bound, so deeper lookahead buys real bandwidth.
     n_slots: int = 2
-    # Zero-copy only: coalesce physically-adjacent page PAIRS into one
-    # 2-page DMA (dynamic bt[j+1] == bt[j]+1 check per pair). The per-8KB
-    # DMA issue cost is the measured zc bound (scripts/zc_roofline.py:
-    # 8KB-DMA ceiling 592 GB/s, 16KB 728); the serving PageAllocator's
-    # pair-aligned layout makes adjacency the common case.
+    # Zero-copy only: coalesce physically-adjacent page runs into one DMA —
+    # per-tile precomputed level 2 = QUADS (32KB DMAs), 1 = PAIRS (16KB),
+    # 0 = singles (8KB). The per-8KB DMA issue cost is the measured zc
+    # bound (scripts/zc_roofline.py: pure-DMA ceilings 592 / 728 / 732
+    # GB/s); the serving PageAllocator's quad-aligned layout makes level 2
+    # the common case.
     coalesce: bool = True
 
 
@@ -258,31 +259,41 @@ def _build_paged_mqa_zerocopy(spec: PagedMQASpec):
                 copy_sems.at[slot])
 
         def for_tile_copies(bb, cc, slot, fn):
-            # Walk tile (bb, cc)'s page DMAs in the coalesced shape: when
-            # the tile's PRECOMPUTED adjacency flag says every page pair is
-            # physically adjacent (adj_ref — one vectorized XLA pass over
-            # the block table per call; the serving PageAllocator's
-            # pair-aligned layout makes this the common case), issue ONE
-            # 2-page DMA per pair; otherwise the plain per-page loop. ONE
-            # SMEM load + branch per tile: a per-PAIR branchy issue loop
-            # measured 243 GB/s vs 433 unconditional — the scalar-core
-            # branch path starved the DMA engines; detection must not live
-            # in the kernel's issue loop. The issue and wait sides branch on
-            # the same flag so every started copy is waited exactly once.
+            # Walk tile (bb, cc)'s page DMAs in the coalesced shape: the
+            # tile's PRECOMPUTED adjacency LEVEL (adj_ref — one vectorized
+            # XLA pass over the block table per call; the serving
+            # PageAllocator's quad-aligned layout makes level 2 the common
+            # case) selects 4-page 32KB DMAs (2), 2-page 16KB (1), or the
+            # plain per-page loop (0). ONE SMEM load + branches per tile: a
+            # per-PAIR branchy issue loop measured 243 GB/s vs 433
+            # unconditional — the scalar-core branch path starved the DMA
+            # engines; detection must not live in the kernel's issue loop.
+            # The issue and wait sides branch on the same flag so every
+            # started copy is waited exactly once.
             if not spec.coalesce or bpt < 2:
                 for i in range(bpt):
                     fn(page_copy(bb, cc, i, slot))
                 return
-            adj = adj_ref[bb * gkv + jnp.minimum(cc, gkv - 1)] != 0
+            lvl = adj_ref[bb * gkv + jnp.minimum(cc, gkv - 1)]
 
-            @pl.when(adj)
+            if bpt >= 4:
+                @pl.when(lvl == 2)
+                def _():
+                    for i in range(0, bpt - 3, 4):
+                        fn(page_copy(bb, cc, i, slot, npages=4))
+                    for i in range((bpt // 4) * 4, bpt - 1, 2):
+                        fn(page_copy(bb, cc, i, slot, npages=2))
+                    if bpt % 2:
+                        fn(page_copy(bb, cc, bpt - 1, slot))
+
+            @pl.when(lvl == 1 if bpt >= 4 else lvl >= 1)
             def _():
                 for i in range(0, bpt - 1, 2):
                     fn(page_copy(bb, cc, i, slot, npages=2))
                 if bpt % 2:
                     fn(page_copy(bb, cc, bpt - 1, slot))
 
-            @pl.when(jnp.logical_not(adj))
+            @pl.when(lvl == 0)
             def _():
                 for i in range(bpt):
                     fn(page_copy(bb, cc, i, slot))
@@ -442,9 +453,10 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
     else:
         args = [bt, ctx, q3, w3, kv_cache, sf_lin]
         if spec.coalesce:
-            # per-tile "all page pairs adjacent" flags (one vectorized pass
-            # over the table — replicates the kernel's clamped page lookup
-            # exactly, including the repeated-last-page tail of short rows)
+            # per-tile adjacency LEVEL (2 = all quads adjacent, 1 = all
+            # pairs, 0 = neither): one vectorized pass over the table —
+            # replicates the kernel's clamped page lookup exactly,
+            # including the repeated-last-page tail of short rows
             import numpy as np
             bpt = spec.tile_kv // bkv
             gkv = ceil_div(max_model_len, spec.tile_kv)
@@ -452,11 +464,21 @@ def paged_mqa_logits(q: jnp.ndarray, kv_cache: jnp.ndarray, kv_sf: jnp.ndarray,
             bt_tiles = bt2[:, idx].reshape(b_sz, gkv, bpt)
             if bpt >= 2:
                 npairs = (bpt // 2) * 2
-                pair_adj = (bt_tiles[:, :, 1:npairs:2]
-                            == bt_tiles[:, :, 0:npairs - 1:2] + 1)
-                adj = jnp.all(pair_adj, axis=2)
+                pair_adj = jnp.all(
+                    bt_tiles[:, :, 1:npairs:2]
+                    == bt_tiles[:, :, 0:npairs - 1:2] + 1, axis=2)
+                lvl = pair_adj.astype(jnp.int32)
+                if bpt >= 4:
+                    nq = (bpt // 4) * 4
+                    t4 = bt_tiles[:, :, :nq].reshape(b_sz, gkv, nq // 4, 4)
+                    quad_adj = jnp.all(
+                        t4[..., 1:] == t4[..., :1]
+                        + jnp.arange(1, 4, dtype=bt_tiles.dtype), axis=(2, 3))
+                    # quad level also needs the pair tail (nq..bpt) adjacent,
+                    # which pair_adj already covers
+                    lvl = jnp.where(quad_adj & pair_adj, 2, lvl)
             else:
-                adj = jnp.zeros((b_sz, gkv), bool)
-            args.append(adj.reshape(-1).astype(jnp.int32))
+                lvl = jnp.zeros((b_sz, gkv), jnp.int32)
+            args.append(lvl.reshape(-1).astype(jnp.int32))
     out = fn(*args)
     return out.reshape(b_sz * nn, max_model_len)

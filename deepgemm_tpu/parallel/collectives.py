@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..kernels.common import ici_entry_barrier
-from ..runtime.config import is_cpu_backend
+from ..runtime.config import interpret_params, is_cpu_backend
 
 
 def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, num_devices: int,
@@ -71,7 +71,7 @@ def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, num_devices: int,
 def _a2a_call(x, *, axis_name: str, num_devices: int, collective_id: int):
     kernel = functools.partial(_a2a_kernel, num_devices=num_devices,
                                axis_name=axis_name)
-    interpret = (pltpu.InterpretParams() if is_cpu_backend() else False)
+    interpret = (interpret_params() if is_cpu_backend() else False)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),

@@ -165,6 +165,31 @@ def align(x: int, y: int) -> int:
     return (x + y - 1) // y * y
 
 
+def interpret_params():
+    """InterpretParams for RDMA kernels on the CPU distributed interpreter,
+    configurable for the DMA-schedule-adversarial tests:
+
+      DGT_INTERPRET_DMA_MODE = 'on_wait' (default) | 'eager'
+        on_wait completes every DMA only AT its semaphore wait (the
+        maximally-late schedule: consuming un-waited data reads NaNs);
+        eager completes at issue (maximally-early). Bitwise equality across
+        BOTH schedules is the testable overlap contract — the interpreter
+        cannot measure time, so schedule-insensitivity of the VALUE is the
+        analog of "inject per-slab RDMA delays, assert step-time
+        insensitivity" (the reference's dispatch/compute overlap property,
+        sm100_fp8_fp4_mega_moe.cuh:432-601).
+      DGT_INTERPRET_RACES = 1: enable the interpreter's vector-clock race
+        detector (prints RACE DETECTED on unsynchronized access).
+    """
+    import os
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.InterpretParams(
+        dma_execution_mode=os.environ.get('DGT_INTERPRET_DMA_MODE',
+                                          'on_wait'),
+        detect_races=get_bool_env('DGT_INTERPRET_RACES'),
+    )
+
+
 def is_cpu_backend() -> bool:
     """True when Pallas kernels should run in INTERPRET mode: the CPU
     backend (tests / virtual meshes), or ``DGT_INTERPRET=1`` to force

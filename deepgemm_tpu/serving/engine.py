@@ -34,41 +34,65 @@ class PageAllocator:
     """Host-side free-list of KV cache blocks (the paged-attention page
     table manager the reference's serving stacks keep around its kernels).
 
-    PAIR-ALIGNED: pages are handed out so that a sequence's logical pages
-    (2i, 2i+1) are physically adjacent (2k, 2k+1) whenever a whole aligned
-    pair is free — the layout contract the zero-copy decode kernel's
-    pair-coalesced DMAs ride (kernels/paged_mqa.py: the per-8KB DMA issue
-    cost is the measured zc bound; adjacent pairs fold into one 16KB DMA,
-    pure-DMA ceiling 592 -> 728 GB/s). Degrades gracefully to singles under
-    fragmentation; correctness never depends on adjacency."""
+    QUAD-ALIGNED: pages are handed out so that a sequence's logical pages
+    (4i .. 4i+3) are physically adjacent (4k .. 4k+3) whenever a whole
+    aligned quad is free, degrading to aligned pairs, then singles — the
+    layout contract the zero-copy decode kernel's coalesced DMAs ride
+    (kernels/paged_mqa.py: the per-8KB DMA issue cost is the measured zc
+    bound; adjacent pairs fold into one 16KB DMA and quads into one 32KB
+    DMA — pure-DMA ceilings 592 / 728 / 732 GB/s, scripts/zc_roofline.py).
+    Correctness never depends on adjacency."""
 
     def __init__(self, num_blocks: int):
         self.num_blocks = num_blocks
-        # pair k = pages (2k, 2k+1); ascending hand-out order
-        self._free_pairs: List[int] = list(range(num_blocks // 2 - 1, -1, -1))
+        # quad k = pages (4k .. 4k+3); ascending hand-out order. The tail
+        # (num_blocks % 4) starts as pairs/singles.
+        self._free_quads: List[int] = list(range(num_blocks // 4 - 1, -1, -1))
+        tail = (num_blocks // 4) * 4
+        self._free_pairs: List[int] = (
+            [tail // 2] if num_blocks - tail >= 2 else [])
         self._free_singles: List[int] = (
             [num_blocks - 1] if num_blocks % 2 else [])
 
     @property
     def num_free(self) -> int:
-        return 2 * len(self._free_pairs) + len(self._free_singles)
+        return (4 * len(self._free_quads) + 2 * len(self._free_pairs)
+                + len(self._free_singles))
+
+    def _pop_pair(self) -> Optional[int]:
+        """An aligned pair index k (pages 2k, 2k+1), splitting a quad if
+        needed; None when neither exists."""
+        if self._free_pairs:
+            return self._free_pairs.pop()
+        if self._free_quads:
+            q = self._free_quads.pop()      # split: hand low pair, keep high
+            self._free_pairs.append(2 * q + 1)
+            return 2 * q
+        return None
 
     def _pop_single(self) -> int:
         if self._free_singles:
             return self._free_singles.pop()
-        k = self._free_pairs.pop()          # break a pair (rare path)
+        k = self._pop_pair()                # break a pair (rare path)
+        if k is None:
+            raise MemoryError('paged cache exhausted')
         self._free_singles.append(2 * k + 1)
         return 2 * k
 
     def alloc(self, n: int) -> List[int]:
-        """n pages; positions (2i, 2i+1) of the result are physically
-        adjacent whenever a whole pair was available."""
+        """n pages; positions (4i..4i+3) of the result are physically
+        adjacent whenever a whole quad was available (pairs when not)."""
         if n > self.num_free:
             raise MemoryError(f'paged cache exhausted: need {n}, '
                               f'free {self.num_free}')
         out: List[int] = []
-        while n - len(out) >= 2 and self._free_pairs:
-            k = self._free_pairs.pop()
+        while n - len(out) >= 4 and self._free_quads:
+            q = self._free_quads.pop()
+            out.extend(range(4 * q, 4 * q + 4))
+        while n - len(out) >= 2:
+            k = self._pop_pair()
+            if k is None:
+                break
             out.extend((2 * k, 2 * k + 1))
         while len(out) < n:
             out.append(self._pop_single())
@@ -76,22 +100,46 @@ class PageAllocator:
 
     def alloc_pair(self) -> Optional[List[int]]:
         """One whole aligned pair, or None if only singles remain — decode
-        growth reserves the odd half for the sequence's NEXT page so
-        adjacency survives one-page-at-a-time growth."""
-        if not self._free_pairs:
+        growth reserves the tail for the sequence's NEXT pages so adjacency
+        survives one-page-at-a-time growth."""
+        k = self._pop_pair()
+        return None if k is None else [2 * k, 2 * k + 1]
+
+    def alloc_quad(self) -> Optional[List[int]]:
+        """One whole aligned quad (4k..4k+3), or None — decode growth at a
+        4-aligned logical index reserves the other three pages so the
+        zero-copy kernel's 32KB quad DMAs stay coalesced while the
+        sequence grows one page at a time."""
+        if not self._free_quads:
             return None
-        k = self._free_pairs.pop()
-        return [2 * k, 2 * k + 1]
+        q = self._free_quads.pop()
+        return list(range(4 * q, 4 * q + 4))
 
     def free(self, pages: List[int]):
         singles = set(self._free_singles)
         singles.update(pages)
-        for p in sorted(pages):
+        for k in list(self._free_pairs):
+            singles.update((2 * k, 2 * k + 1))
+        self._free_pairs = []
+        quads, pairs = [], []
+        for p in sorted(singles):
+            q4 = p - (p % 4)
+            if all(q4 + j in singles for j in range(4)):
+                if p == q4:
+                    quads.append(q4 // 4)
+                    for j in range(4):
+                        singles.discard(q4 + j)
+        for p in sorted(singles):
             even = p - (p % 2)
             if even in singles and even + 1 in singles:
+                pairs.append(even // 2)
                 singles.discard(even)
                 singles.discard(even + 1)
-                self._free_pairs.append(even // 2)
+        # descending storage so pop() hands out ascending page numbers
+        # (matches __init__'s order; locality preference only)
+        self._free_quads = sorted(set(self._free_quads) | set(quads),
+                                  reverse=True)
+        self._free_pairs = sorted(pairs, reverse=True)
         self._free_singles = sorted(singles)
 
 
@@ -102,10 +150,11 @@ class SequenceState:
     ctx_len: int                  # tokens currently in the cache
     pages: List[int]
     steps: int = 0
-    # odd half of a pair reserved by decode growth at an even logical page
-    # index (PageAllocator.alloc_pair) — consumed by the NEXT growth so the
-    # (2i, 2i+1) adjacency contract holds while growing one page at a time
-    reserved_page: Optional[int] = None
+    # tail of a quad/pair reserved by decode growth at a 4-/2-aligned
+    # logical page index (PageAllocator.alloc_quad/alloc_pair) — consumed
+    # by the NEXT growths so the (4i..4i+3) physical-adjacency contract
+    # holds while growing one page at a time
+    reserved_pages: List[int] = dataclasses.field(default_factory=list)
 
 
 class PagedCache:
@@ -210,9 +259,7 @@ class ContinuousBatcher:
     def finish(self, seq_id: int):
         for slot, seq in enumerate(self._slots):
             if seq is not None and seq.seq_id == seq_id:
-                self.alloc.free(seq.pages
-                                + ([seq.reserved_page]
-                                   if seq.reserved_page is not None else []))
+                self.alloc.free(seq.pages + seq.reserved_pages)
                 self._slots[slot] = None
                 self.context_lens[slot] = 0
                 self.block_table[slot, :] = 0
@@ -232,20 +279,21 @@ class ContinuousBatcher:
             if len(seq.pages) >= self.max_pages:
                 raise MemoryError(f'sequence {seq.seq_id} exceeded '
                                   f'max_pages_per_seq={self.max_pages}')
-            # keep the (2i, 2i+1) physical-adjacency contract while growing
-            # one page at a time: at an even logical index grab a whole
-            # aligned pair and reserve its odd half for the next growth
-            if seq.reserved_page is not None:
-                page = seq.reserved_page
-                seq.reserved_page = None
-            elif len(seq.pages) % 2 == 0:
-                pair = self.alloc.alloc_pair()
-                if pair is not None:
-                    page, seq.reserved_page = pair
-                else:
-                    page = self.alloc.alloc(1)[0]
+            # keep the (4i..4i+3) physical-adjacency contract while growing
+            # one page at a time: at a 4-aligned logical index grab a whole
+            # aligned quad (pair at 2-aligned) and reserve the tail for the
+            # next growths — the zero-copy kernel's 32KB quad DMAs ride this
+            if seq.reserved_pages:
+                page = seq.reserved_pages.pop(0)
             else:
-                page = self.alloc.alloc(1)[0]
+                run = None
+                if len(seq.pages) % 4 == 0:
+                    run = self.alloc.alloc_quad()
+                if run is None and len(seq.pages) % 2 == 0:
+                    run = self.alloc.alloc_pair()
+                if run is None:
+                    run = self.alloc.alloc(1)
+                page, seq.reserved_pages = run[0], run[1:]
             seq.pages.append(page)
             self.block_table[seq.slot, len(seq.pages) - 1] = page
 

@@ -215,6 +215,48 @@ def test_fp8_gemm_exact_f32_scales_default_flags():
     assert specs and all(s.cfg.scale_strategy == 'promote' for s in specs)
 
 
+@pytest.mark.parametrize('m,n,k', [(128, 256, 384), (64, 384, 200),
+                                   (33, 128, 256)])
+@pytest.mark.parametrize('scaled', [False, True])
+def test_dense_swap_ab_bitwise(m, n, k, scaled):
+    """The swap-AB kernel body (weights as the MXU LHS + one final
+    transpose; reference analog sm100.hpp:31-43 mandatory swap-AB layouts)
+    is BITWISE-equal to the plain kernel: each output element is the same
+    dot with the same accumulation and scale-multiply order (see
+    common.promote_block_swapped)."""
+    from deepgemm_tpu.kernels.dense import dense_gemm
+    rng = np.random.RandomState(23)
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(n, k), jnp.bfloat16)
+    if scaled:
+        aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+        bq, bsf = dg.per_token_cast_to_fp8(b, use_ue8m0=False)
+        args = dict(sfa=asf, sfb_t=bsf.T, gran_k_a=128, gran_k_b=128)
+        a_in, b_in = aq, bq
+    else:
+        args, (a_in, b_in) = {}, (a, b)
+    d_plain = dense_gemm(a_in, b_in, swap_ab=False, **args)
+    d_swap = dense_gemm(a_in, b_in, swap_ab=True, **args)
+    np.testing.assert_array_equal(np.asarray(d_plain), np.asarray(d_swap))
+
+
+def test_dense_swap_ab_bitwise_multistep_accumulate():
+    """swap-AB with gk > 1 (acc scratch lives transposed) + c accumulate."""
+    from deepgemm_tpu.heuristics.configs import GemmConfig
+    from deepgemm_tpu.kernels.dense import dense_gemm
+    rng = np.random.RandomState(29)
+    m, n, k = 64, 128, 512
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(n, k), jnp.bfloat16)
+    c = jnp.asarray(rng.randn(m, n), jnp.float32)
+    aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+    bq, bsf = dg.per_token_cast_to_fp8(b, use_ue8m0=False)
+    cfg = GemmConfig(block_m=64, block_n=128, block_k=256)  # gk = 2
+    outs = [dense_gemm(aq, bq, sfa=asf, sfb_t=bsf.T, c=c, out_dtype=jnp.float32,
+                       swap_ab=s, cfg=cfg) for s in (False, True)]
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
 def test_gemm_early_return():
     """k == 0 early-return semantics (/root/reference/csrc/apis/gemm.hpp:19-46)."""
     a = jnp.zeros((16, 0), jnp.bfloat16)

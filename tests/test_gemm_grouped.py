@@ -149,6 +149,63 @@ def test_m_grouped_masked_pf_skip_bitwise(monkeypatch, use_fp8):
     assert any(getattr(s, 'pf_skip', False) for s in kernel_cache().specs())
 
 
+@pytest.mark.parametrize('use_fp8', [False, True])
+def test_m_grouped_contiguous_swap_ab_bitwise(monkeypatch, use_fp8):
+    """Swap-AB grouped body (weights as the MXU LHS + one final transpose;
+    reference analog: sm100.hpp:31-43 makes swap-AB MANDATORY for m-grouped
+    GEMMs) is bitwise vs the plain body — on the static path AND the
+    prefetch path (uneven groups, dynamic gids)."""
+    num_groups, n, k = 4, 256, 384
+    m, a, b, layout, ref_d = generate_m_grouped_contiguous(
+        num_groups, 128, n, k, use_fp8=use_fp8)
+    fn = (dg.m_grouped_fp8_gemm_nt_contiguous if use_fp8
+          else dg.m_grouped_bf16_gemm_nt_contiguous)
+    outs = {}
+    for sw in ('0', '1'):
+        monkeypatch.setenv('DGT_GROUPED_SWAP_AB', sw)
+        outs[sw] = fn(a, b, grouped_layout=layout, use_psum_layout=False)
+    np.testing.assert_array_equal(np.asarray(outs['0']),
+                                  np.asarray(outs['1']))
+    assert calc_diff(outs['1'], ref_d) < (1e-3 if use_fp8 else 1e-5)
+    # prefetch path: force it so the swapped SF specs with dynamic gids run
+    monkeypatch.setenv('DGT_GROUPED_FORCE_PREFETCH', '1')
+    for sw in ('0', '1'):
+        monkeypatch.setenv('DGT_GROUPED_SWAP_AB', sw)
+        outs[f'pf{sw}'] = fn(a, b, grouped_layout=layout,
+                             use_psum_layout=False)
+    np.testing.assert_array_equal(np.asarray(outs['pf0']),
+                                  np.asarray(outs['pf1']))
+    np.testing.assert_array_equal(np.asarray(outs['pf1']),
+                                  np.asarray(outs['1']))
+
+
+@pytest.mark.parametrize('use_fp8', [False, True])
+def test_m_grouped_masked_swap_ab_bitwise(monkeypatch, use_fp8):
+    """Swap-AB masked body bitwise vs plain on meaningful rows, on both the
+    predicated and the pf-skip variants (ragged masked_m + zero group)."""
+    num_groups, max_m, n, k = 4, 256, 256, 384
+    a, b, _, ref_d = generate_m_grouped_masked(
+        num_groups, max_m, 64, n, k, use_fp8=use_fp8)
+    masked_m = jnp.asarray([64, 130, 0, 256], jnp.int32)
+    fn = (dg.m_grouped_fp8_gemm_nt_masked if use_fp8
+          else dg.m_grouped_bf16_gemm_nt_masked)
+    outs = {}
+    for pf in ('0', '1'):
+        monkeypatch.setenv('DGT_MASKED_PF_SKIP', pf)
+        for sw in ('0', '1'):
+            monkeypatch.setenv('DGT_MASKED_SWAP_AB', sw)
+            outs[pf + sw] = fn(a, b, masked_m=masked_m, expected_m=64)
+    m_np = np.asarray(masked_m)
+    tol = 1e-3 if use_fp8 else 1e-5
+    for g in range(num_groups):
+        mg = int(m_np[g])
+        for key in ('01', '10', '11'):
+            np.testing.assert_array_equal(
+                np.asarray(outs[key][g, :mg]), np.asarray(outs['00'][g, :mg]))
+        if mg:
+            assert calc_diff(outs['11'][g, :mg], ref_d[g, :mg]) < tol
+
+
 def test_m_grouped_masked_no_early_exit_unaligned(monkeypatch):
     """max_m NOT 128-aligned cannot reroute (group starts misalign the lane
     tiles); it must build the unpredicated masked kernel instead and stay

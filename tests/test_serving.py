@@ -134,45 +134,58 @@ def test_cache_exhaustion_raises():
         eng.step({s1: 1})             # tail page needed, none free
 
 
-def test_page_allocator_pair_alignment():
-    """The allocator's layout contract for the zero-copy kernel's 16KB-DMA
-    coalescing: logical pages (2i, 2i+1) physically adjacent whenever a
-    whole aligned pair is free, graceful singles fallback, pairs recombine
-    on free."""
+def test_page_allocator_quad_alignment():
+    """The allocator's layout contract for the zero-copy kernel's coalesced
+    DMAs: logical pages (4i..4i+3) physically adjacent whenever a whole
+    aligned quad is free (32KB DMAs), degrading to aligned pairs (16KB)
+    then singles, and runs recombine on free."""
     al = PageAllocator(8)
-    a = al.alloc(4)
-    assert a[1] == a[0] + 1 and a[0] % 2 == 0
-    assert a[3] == a[2] + 1 and a[2] % 2 == 0
-    b = al.alloc(3)                  # 1 pair + 1 single (breaks a pair)
+    a = al.alloc(4)                  # one whole quad
+    assert a == [a[0], a[0] + 1, a[0] + 2, a[0] + 3] and a[0] % 4 == 0
+    b = al.alloc(3)                  # 1 pair (split quad) + 1 single
     assert b[1] == b[0] + 1 and b[0] % 2 == 0
     assert al.num_free == 1
     al.free(a)
     al.free(b)
     assert al.num_free == 8
-    c = al.alloc(8)                  # recombined: all 4 pairs again
-    assert all(c[i + 1] == c[i] + 1 and c[i] % 2 == 0
-               for i in range(0, 8, 2))
+    c = al.alloc(8)                  # recombined: both quads again
+    assert all(c[i:i + 4] == [c[i], c[i] + 1, c[i] + 2, c[i] + 3]
+               and c[i] % 4 == 0 for i in range(0, 8, 4))
     # odd total: last block is a permanent single
     al9 = PageAllocator(9)
     got = al9.alloc(9)
     assert sorted(got) == list(range(9)) and al9.num_free == 0
+    # 11 blocks: 2 quads + 1 pair + 1 single
+    al11 = PageAllocator(11)
+    assert al11.num_free == 11
+    q = al11.alloc(4)
+    assert q[0] % 4 == 0 and q == list(range(q[0], q[0] + 4))
 
 
-def test_engine_decode_growth_keeps_pairs():
-    """Decode-time one-page-at-a-time growth preserves the (2i, 2i+1)
-    adjacency via the reserved-odd-half scheme, and finish() releases the
+def test_engine_decode_growth_keeps_quads():
+    """Decode-time one-page-at-a-time growth preserves the (4i..4i+3)
+    adjacency via the reserved-tail scheme, and finish() releases the
     reservation."""
     eng = make_engine(slots=1, num_blocks=8)
-    s = eng.admit(BLOCK_KV)                       # 1 page (even index 0)
+    s = eng.admit(BLOCK_KV)                       # 1 page (logical index 0)
     eng.prefill(s, *prompt_streams(BLOCK_KV, BLOCK_KV))
     seq = eng._seq(s)
-    assert seq.reserved_page is None or seq.reserved_page == seq.pages[0] + 1
+    assert all(r == seq.pages[0] + 1 + j
+               for j, r in enumerate(seq.reserved_pages)) \
+        or not seq.reserved_pages
     for i in range(3 * BLOCK_KV):                 # grow to 4 pages
         eng.step({s: i})
     seq = eng._seq(s)
     assert len(seq.pages) == 4
+    # logical (0,1) pair-adjacent and (2,3) pair-adjacent at least; the
+    # reserved-tail scheme keeps whole quads when growth STARTS 4-aligned
     assert seq.pages[1] == seq.pages[0] + 1 and seq.pages[0] % 2 == 0
     assert seq.pages[3] == seq.pages[2] + 1 and seq.pages[2] % 2 == 0
+    # a fresh sequence admitted with a 4-page prompt gets a whole quad
+    eng2 = make_engine(slots=1, num_blocks=8)
+    s2 = eng2.admit(4 * BLOCK_KV)
+    p2 = eng2._seq(s2).pages
+    assert p2 == list(range(p2[0], p2[0] + 4)) and p2[0] % 4 == 0
     free_before = eng.alloc.num_free
     eng.finish(s)
     assert eng.alloc.num_free == 8                # incl. any reservation
