@@ -67,6 +67,10 @@ def main():
               dense(False, cfg), *args_small)
 
     # --- swap-AB dense: headline square + deep-k ------------------------
+    cfg1n = GemmConfig(block_m=128, block_n=4096, block_k=1024,
+                       scale_strategy='promote')
+    check('dense fp8 128x4096x7168 PLAIN (128,4096,1024)',
+          dense(False, cfg1n), *args_small)
     check('dense fp8 4096^3 SWAP heuristic', dense(True),
           S((4096, 4096), f8), S((4096, 4096), f8),
           S((4096, 32), jnp.float32), S((32, 4096), jnp.float32))
@@ -113,6 +117,43 @@ def main():
               *masked_args)
     del os.environ['DGT_GROUPED_SWAP_AB'], os.environ['DGT_MASKED_SWAP_AB']
     del os.environ['DGT_MASKED_PF_SKIP']
+
+    # --- DUAL-B straddle contiguous at the bench align128 shape ----------
+    mpg_list128 = [896, 1152] * 4
+    m128b = sum(mpg_list128)
+    ids128b = jnp.asarray(np.repeat(np.arange(8, dtype=np.int32),
+                                    mpg_list128))
+    os.environ['DGT_GROUPED_DUAL_B'] = '1'
+    check('grouped align128 DUAL-B bm256 (bench shape)',
+          lambda a, sa, bv, sb: dg.m_grouped_fp8_gemm_nt_contiguous(
+              (a, sa), (bv, sb), grouped_layout=ids128b,
+              use_psum_layout=False),
+          S((m128b, k), f8), S((m128b, k // 128), jnp.float32),
+          S((G, n, k), f8), S((G, n // 128, k // 128), jnp.float32))
+    os.environ.pop('DGT_GROUPED_DUAL_B')
+
+    # --- zero-copy paged decode with the r5 3-level adjacency code -------
+    Bp, bkv, bps, h, d = 64, 64, 64, 32, 128
+    mml = bkv * bps
+    nb = Bp * bps
+    check('paged decode ZEROCOPY (quad-level coalescing)',
+          lambda q, kv, sf, w, ctx, bt: dg.fp8_fp4_paged_mqa_logits(
+              (q, None), (kv, sf), w, ctx, bt, max_context_len=mml,
+              strategy='paged'),
+          S((Bp, 1, h, d), f8), S((nb, bkv, d), f8),
+          S((nb, bkv), jnp.float32), S((Bp, h), jnp.float32),
+          S((Bp,), jnp.int32), S((Bp, bps), jnp.int32))
+
+    # --- fused post-gather sparse attention (serving decode, r5) ---------
+    from deepgemm_tpu.kernels.sparse_attn import gathered_attention
+    Bs, tks, hs, ds = 64, 512, 8, 128
+    check('sparse gathered attention (serving dims)',
+          lambda q, ks, vs, valid: gathered_attention(
+              q, ks, vs, valid, 0.088388),
+          S((Bs, hs, ds), jnp.bfloat16),
+          S((Bs, tks, hs, ds), jnp.bfloat16),
+          S((Bs, tks, hs, ds), jnp.bfloat16),
+          S((Bs, tks), jnp.bool_))
 
     print(f'\n{ok} ok, {fail} fail')
     sys.exit(1 if fail else 0)

@@ -144,6 +144,34 @@ def main():
     print(f'kernel share of FULL: {ts["P2"] / ts["FULL"]:.1%}', flush=True)
     print(f'tokens/s at FULL: {Bs / ts["FULL"]:.0f}', flush=True)
 
+    # ---- FULL step with the caches as fori_loop CARRY (the r5 fix): the
+    # scatter updates in place instead of copying ~1.1 GB of caches per
+    # step (the engine's donate_argnums analog). One entry copy amortizes
+    # over a longer loop.
+    SV = 64
+
+    @jax.jit
+    def full_carry(iw_, kp_, vp_, ikp_, isf_):
+        def body(i, c):
+            kpc, vpc, ikc, isc, acc = c
+            kp2 = kpc.at[pages, offs].set(kn)
+            vp2 = vpc.at[pages, offs].set(vn)
+            ik2 = ikc.at[pages, offs].set(ikn)
+            is2 = isc.at[pages, offs].set(isn)
+            out = indexer_sparse_decode(
+                q[:, None], (kp2, vp2), (ik2, is2), iq[:, None],
+                jnp.roll(iw_, i, 0), ctx, btab, mcl, tks)
+            return (kp2, vp2, ik2, is2,
+                    acc + out.astype(jnp.float32).reshape(-1)[0])
+        return jax.lax.fori_loop(0, SV, body,
+                                 (kp_, vp_, ikp_, isf_, 0.0))[-1]
+
+    t_c = bench._device_time_of(full_carry, args, 'svp_carry') \
+        * bench.N_ITERS / SV
+    show('FULL step (carried caches)', t_c)
+    print(f'tokens/s carried: {Bs / t_c:.0f}  '
+          f'(speedup {ts["FULL"] / t_c:.2f}x)', flush=True)
+
 
 if __name__ == '__main__':
     main()
