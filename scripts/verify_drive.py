@@ -80,3 +80,77 @@ print('grouped swap diff vs host oracle:', calc_diff(outs[1], refg),
 assert calc_diff(outs[1], refg) < 1e-3
 
 print('VERIFY PASS', flush=True)
+
+# --- r5 additions: dual-B, sparse-attn, serving engine donation ---------
+from deepgemm_tpu.kernels.sparse_attn import gathered_attention
+rng5 = np.random.RandomState(7)
+B5, t5, h5, d5 = 4, 128, 8, 128
+q5 = jnp.asarray(rng5.randn(B5, h5, d5), jnp.bfloat16)
+k5 = jnp.asarray(rng5.randn(B5, t5, h5, d5), jnp.bfloat16)
+v5 = jnp.asarray(rng5.randn(B5, t5, h5, d5), jnp.bfloat16)
+valid5 = jnp.asarray(rng5.rand(B5, t5) > 0.2)
+valid5 = valid5.at[:, 0].set(True)
+sc5 = 1.0 / np.sqrt(d5)
+o5 = gathered_attention(q5, k5, v5, valid5, sc5)
+# host oracle
+qf, kf, vf = (np.asarray(x, np.float32) for x in (q5, k5, v5))
+scr = np.einsum('bhd,bthd->bth', qf, kf) * sc5
+scr[~np.asarray(valid5)] = -np.inf
+p5 = np.exp(scr - scr.max(1, keepdims=True))
+p5 /= p5.sum(1, keepdims=True)
+ref5 = np.einsum('bth,bthd->bhd', p5, vf)
+print('sparse-attn kernel vs host oracle:', calc_diff(o5, ref5), flush=True)
+assert calc_diff(o5, ref5) < 2e-3
+
+# dual-B straddle grouped: bitwise vs plain on TPU (small shape)
+import os as _os5
+sizes5 = [128, 384, 256]
+ids5 = jnp.asarray(np.repeat(np.arange(3, dtype=np.int32), sizes5))
+a5 = jnp.asarray(rng5.randn(sum(sizes5), 1024), jnp.bfloat16)
+aq5, asf5 = dg.per_token_cast_to_fp8(a5, use_ue8m0=False)
+b5 = jnp.asarray(rng5.randn(3, 512, 1024) * 0.1, jnp.bfloat16)
+b5s = [dg.per_block_cast_to_fp8(b5[g], use_ue8m0=False) for g in range(3)]
+bq5 = jnp.stack([x[0] for x in b5s])
+sfb5 = _grouped_sfb_t(jnp.stack([x[1] for x in b5s]), 3, 512, 1024,
+                      (128, 128), b_kmajor=True)
+outs5 = {}
+for mode in ('0', '1'):
+    _os5.environ['DGT_GROUPED_DUAL_B'] = mode
+    outs5[mode] = m_grouped_gemm_contiguous(
+        aq5, bq5, ids5, use_psum_layout=False, sfa=asf5, sfb_t=sfb5,
+        out_dtype=jnp.bfloat16)
+_os5.environ.pop('DGT_GROUPED_DUAL_B', None)
+same5 = bool(jnp.all(outs5['0'] == outs5['1']))
+print('dual-B bitwise vs plain on TPU:', same5, flush=True)
+assert same5
+
+# serving engine end-to-end with donated caches (tiny config, real TPU)
+from deepgemm_tpu.serving.engine import ContinuousBatcher
+hs6, ds6, his6, dis6 = 2, 128, 2, 128
+
+
+def embed6(tokens):
+    r = np.random.RandomState(50)
+    n = int(tokens.shape[0])
+    mk = lambda *s: jnp.asarray(r.randn(*s) * 0.1, jnp.bfloat16)
+    ik = jnp.clip(jnp.asarray(r.randn(n, dis6), jnp.float32),
+                  -448, 448).astype(jnp.float8_e4m3fn)
+    return (mk(n, hs6, ds6), mk(n, his6, dis6),
+            jnp.asarray(r.rand(n, his6), jnp.float32),
+            mk(n, hs6, ds6), mk(n, hs6, ds6), ik,
+            jnp.asarray(r.rand(n), jnp.float32))
+
+
+eng6 = ContinuousBatcher(max_slots=2, max_pages_per_seq=4, num_blocks=8,
+                         block_kv=128, num_heads=hs6, head_dim=ds6,
+                         index_heads=his6, index_dim=dis6, topk=16,
+                         embed_fn=embed6)
+s6 = eng6.admit(128)
+pr6 = embed6(jnp.zeros(128, jnp.int32))
+eng6.prefill(s6, *(x for x in (pr6[3], pr6[4], pr6[5], pr6[6])))
+for i in range(3):
+    out6 = eng6.step({s6: i})
+assert np.isfinite(np.asarray(out6[s6], np.float32)).all()
+print('serving engine 3 donated steps: OK', flush=True)
+
+print('VERIFY R5 PASS', flush=True)

@@ -2,6 +2,7 @@
 analog of /root/reference/tests/test_fp8_fp4.py:75-160 and test_bf16.py."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -177,6 +178,84 @@ def test_m_grouped_contiguous_swap_ab_bitwise(monkeypatch, use_fp8):
                                   np.asarray(outs['pf1']))
     np.testing.assert_array_equal(np.asarray(outs['pf1']),
                                   np.asarray(outs['1']))
+
+
+@pytest.mark.parametrize('use_fp8', [False, True])
+@pytest.mark.parametrize('n,k', [(256, 384), (256, 200)])
+def test_m_grouped_contiguous_dual_b_bitwise(monkeypatch, use_fp8, n, k):
+    """DUAL-B straddle path (r5 align128 fix): 128-aligned-but-not-256
+    group starts run bm=256 tiles with a second dedup-clamped B operand;
+    straddle tiles compute two half dots. Must be BITWISE vs the plain
+    bm=128 static path (same per-row dot/promote order) and match the
+    host oracle. Covers a k tail and a group boundary at the half line."""
+    import numpy as np_
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    rng = np_.random.RandomState(31)
+    sizes = [128, 384, 256]                    # starts 0, 128, 512
+    m = sum(sizes)
+    ids = np_.repeat(np_.arange(3, dtype=np_.int32), sizes)
+    a = jnp.asarray(rng.randn(m, k), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(3, n, k) * 0.1, jnp.bfloat16)
+    if use_fp8:
+        aq, asf = dg.per_token_cast_to_fp8(a, use_ue8m0=False)
+        bs = [dg.per_block_cast_to_fp8(b[g], use_ue8m0=False)
+              for g in range(3)]
+        arg_a = (aq, asf)
+        arg_b = (jnp.stack([x[0] for x in bs]),
+                 jnp.stack([x[1] for x in bs]))
+        fn = lambda: dg.m_grouped_fp8_gemm_nt_contiguous(
+            arg_a, arg_b, grouped_layout=jnp.asarray(ids),
+            use_psum_layout=False)
+    else:
+        fn = lambda: dg.m_grouped_bf16_gemm_nt_contiguous(
+            a, b, grouped_layout=jnp.asarray(ids), use_psum_layout=False)
+    monkeypatch.setenv('DGT_GROUPED_DUAL_B', '1')
+    kernel_cache().clear()
+    d_dual = fn()
+    assert any(getattr(s, 'dual_b_row_starts', None) is not None
+               for s in kernel_cache().specs()), 'dual-B path must build'
+    monkeypatch.setenv('DGT_GROUPED_DUAL_B', '0')
+    d_plain = fn()
+    np.testing.assert_array_equal(np.asarray(d_dual), np.asarray(d_plain))
+    ref = np_.vstack([np_.asarray(a[s:e], np_.float32)
+                      @ np_.asarray(b[g], np_.float32).T
+                      for g, (s, e) in enumerate(
+                          zip(np_.cumsum([0] + sizes[:-1]),
+                              np_.cumsum(sizes)))])
+    assert calc_diff(d_dual, ref) < (1e-3 if use_fp8 else 1e-5)
+
+
+def test_dual_b_config_pick_bench_shape(monkeypatch):
+    """The dual-B chooser at the bench align128 shape must land on
+    (256, 512, 3584): the plain-budget (256, 256, 7168) single-step pick
+    RESOURCE_EXHAUSTED on real Mosaic (chipless AOT r5) — the 2.5 MiB
+    safety margin pins the shipping config. Host-only logic, regression
+    for the VMEM-margin constant."""
+    import numpy as np_
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    monkeypatch.setenv('DGT_GROUPED_DUAL_B', '1')
+    kernel_cache().clear()
+    G, n, k = 8, 4096, 7168
+    mpg = [896 if g % 2 == 0 else 1152 for g in range(G)]
+    ids = np_.repeat(np_.arange(G, dtype=np_.int32), mpg)
+    m = sum(mpg)
+    rng = np_.random.RandomState(5)
+    # jit-traced shapes only — never RUN (interpret at this size is
+    # minutes); trace via jax.eval_shape
+    import deepgemm_tpu as dg_
+    from deepgemm_tpu.kernels.grouped import m_grouped_gemm_contiguous
+    a = jax.ShapeDtypeStruct((m, k), jnp.float8_e4m3fn)
+    sfa = jax.ShapeDtypeStruct((m, k // 128), jnp.float32)
+    b = jax.ShapeDtypeStruct((G, n, k), jnp.float8_e4m3fn)
+    sfb = jax.ShapeDtypeStruct((G, k // 128, n), jnp.float32)
+    jax.eval_shape(lambda a_, b_, s1, s2: m_grouped_gemm_contiguous(
+        a_, b_, ids, use_psum_layout=False, sfa=s1, sfb_t=s2,
+        out_dtype=jnp.bfloat16), a, b, sfa, sfb)
+    dual = [s for s in kernel_cache().specs()
+            if getattr(s, 'dual_b_row_starts', None) is not None]
+    assert dual, 'bench align128 shape must route to dual-B'
+    cfg = dual[0].cfg
+    assert (cfg.block_m, cfg.block_n, cfg.block_k) == (256, 512, 3584), cfg
 
 
 @pytest.mark.parametrize('use_fp8', [False, True])

@@ -101,3 +101,50 @@ def test_indexer_sparse_decode_paged():
                                 vp[blocks[0], offs[0]][None],
                                 valid, 1.0 / np.sqrt(d))
         assert calc_diff(out[i], ref) < 1e-3, i
+
+
+def test_topk_select_matches_lax_top_k():
+    """topk_select (the r5 no-sort exact selection, models/topk.py) must
+    pick the SAME set as jax.lax.top_k — including tie runs and rows with
+    fewer than k finite entries."""
+    from deepgemm_tpu.models.topk import topk_select
+    rng = np.random.RandomState(41)
+    b, n, k = 8, 512, 96
+    logits = rng.randn(b, n).astype(np.float32)
+    # tie runs (duplicate values straddling the k-th place)
+    logits[1, :] = np.repeat(rng.randn(n // 8), 8)
+    logits[2, 5:200] = logits[2, 4]
+    # -inf tails of varying lengths, incl. one row with < k finite
+    logits[3, 50:] = -np.inf
+    logits[4, 300:] = -np.inf
+    logits[5, :] = -np.inf
+    lj = jnp.asarray(logits)
+    idx, valid = jax.jit(topk_select, static_argnums=1)(lj, k)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    vals_ref, idx_ref = jax.lax.top_k(lj, k)
+    vals_ref = np.asarray(vals_ref)
+    idx_ref = np.asarray(idx_ref)
+    for r in range(b):
+        n_fin = int(np.isfinite(vals_ref[r]).sum())
+        assert valid[r, :n_fin].all() and not valid[r, n_fin:].any(), r
+        # same selected set (values multiset identical; ties may pick
+        # different positions BUT both break toward lower positions ->
+        # identical index sets too)
+        assert set(idx[r, :n_fin]) == set(idx_ref[r, :n_fin]), r
+        # ascending-position order contract
+        assert (np.diff(idx[r, :n_fin]) > 0).all() if n_fin > 1 else True
+
+
+def test_topk_select_env_pin(monkeypatch):
+    """DGT_TOPK_METHOD=sort routes _topk_indices through lax.top_k."""
+    from deepgemm_tpu.models.indexer import _topk_indices
+    rng = np.random.RandomState(43)
+    lj = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+    monkeypatch.setenv('DGT_TOPK_METHOD', 'sort')
+    i_sort, v_sort = _topk_indices(lj, 32)
+    monkeypatch.setenv('DGT_TOPK_METHOD', 'select')
+    i_sel, v_sel = _topk_indices(lj, 32)
+    for r in range(4):
+        assert set(np.asarray(i_sort)[r].tolist()) \
+            == set(np.asarray(i_sel)[r].tolist())
+    assert np.asarray(v_sort).all() and np.asarray(v_sel).all()
