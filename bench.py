@@ -345,12 +345,15 @@ def main():
     B.run('mega', leg_mega)
 
     # ---- config 6: end-to-end serving decode step (tokens/s) ------------
-    # One continuous-batching decode step for ALL slots in a single device
-    # launch (the serving engine's _device_step dataflow: cache scatter-
-    # append + Pallas paged indexer scoring + top-k + sparse attention over
-    # the selected slots). Baseline: the same step with the indexer scoring
-    # done as a plain-JAX gather + einsum — what a no-kernel JAX server
-    # would run. tokens/s = slots / step time at full occupancy.
+    # One continuous-batching decode step for ALL slots in the engine's r5
+    # SPLIT cadence: a DONATED cache scatter-append jit (in-place, 27 us
+    # measured vs 3368 undonated — scripts/measure_serving_donate.py) plus
+    # a read-only compute jit (Pallas paged indexer scoring + top-k + XLA
+    # token gather + FUSED Pallas sparse attention). The two must stay
+    # separate dispatches: composed, XLA re-materializes a full cache copy
+    # even under donation. Baseline: the same donated append + the compute
+    # step a no-kernel JAX server would run (XLA scoring einsum + XLA
+    # attention tail). tokens/s = slots / (append + compute) device time.
     def leg_serving():
         from deepgemm_tpu.models.indexer import indexer_sparse_decode, \
             _topk_indices
@@ -380,57 +383,87 @@ def main():
         # Cache pages ride as jit ARGUMENTS (kp/vp are ~537MB each): closed
         # over, they'd be embedded in the compile body -> relay HTTP 413 /
         # broken pipe (the round-4 serving-leg failure root cause).
-        def _serve_step(iw, kp, vp, ikp, isf, kernels: bool):
+        def serve_append(kp, vp, ikp, isf):
             kp2 = kp.at[pages_s, offs_s].set(kn_s)
             vp2 = vp.at[pages_s, offs_s].set(vn_s)
             ik2 = ikp.at[pages_s, offs_s].set(ikn_s)
             is2 = isf.at[pages_s, offs_s].set(isn_s)
-            if kernels:
-                out = indexer_sparse_decode(
-                    q_s[:, None], (kp2, vp2), (ik2, is2), iq_s[:, None], iw,
-                    ctx_s, btab_s, mcl, tks)
-            else:
-                # plain-JAX scoring: gather index cache linear, relu einsum
-                ik_lin = ik2[btab_s].reshape(Bs, mcl, dis).astype(jnp.float32)
-                is_lin = is2[btab_s].reshape(Bs, mcl)
-                sc = jnp.maximum(
-                    jnp.einsum('bhd,btd->bht', iq_s.astype(jnp.float32),
-                               ik_lin), 0.0) * is_lin[:, None]
-                logits = jnp.einsum('bht,bh->bt', sc, iw)
-                col = jnp.arange(mcl, dtype=jnp.int32)[None]
-                logits = jnp.where(col < ctx_s[:, None], logits, -jnp.inf)
-                sel, valid = _topk_indices(logits, tks)
-                pg = jnp.clip(sel, 0, mcl - 1) // bkv_s
-                of = jnp.clip(sel, 0, mcl - 1) % bkv_s
-                rows = jnp.arange(Bs)[:, None]
-                blocks = btab_s[rows, jnp.clip(pg, 0, mps - 1)]
-                k_sel = kp2[blocks, of]
-                v_sel = vp2[blocks, of]
-                scr = jnp.einsum('bhd,bthd->bht', q_s.astype(jnp.float32),
-                                 k_sel.astype(jnp.float32)) / np.sqrt(ds)
-                scr = jnp.where(valid[:, None, :], scr, -jnp.inf)
-                pr = jax.nn.softmax(scr, axis=-1)
-                out = jnp.einsum('bht,bthd->bhd', pr,
-                                 v_sel.astype(jnp.float32))[:, None]
-            # consume the appended caches too (the scatter must not DCE)
-            return (out.astype(jnp.float32).reshape(-1)[0]
-                    + kp2[0, 0, 0, 0].astype(jnp.float32)
-                    + vp2[0, 0, 0, 0].astype(jnp.float32)
-                    + ik2[0, 0, 0].astype(jnp.float32) + is2[0, 0])
+            return kp2, vp2, ik2, is2
+        serve_append = jax.jit(serve_append, donate_argnums=(0, 1, 2, 3))
 
-        loop_sv = _loop(lambda i, iw, kp, vp, ikp, isf:
-                        _serve_step(jnp.roll(iw, i, 0), kp, vp, ikp, isf,
-                                    True))
-        loop_sx = _loop(lambda i, iw, kp, vp, ikp, isf:
-                        _serve_step(jnp.roll(iw, i, 0), kp, vp, ikp, isf,
-                                    False))
-        sargs = (iw_s, kp_s, vp_s, ikp_s, isfp_s)
+        @jax.jit
+        def serve_kernel(kp, vp, ikp, isf, iw):
+            out = indexer_sparse_decode(
+                q_s[:, None], (kp, vp), (ikp, isf), iq_s[:, None], iw,
+                ctx_s, btab_s, mcl, tks)
+            return out.astype(jnp.float32)[0, 0, 0, 0]
+
+        @jax.jit
+        def serve_xla(kp, vp, ikp, isf, iw):
+            # plain-JAX scoring: gather index cache linear, relu einsum;
+            # then the XLA attention tail over the gathered rows
+            ik_lin = ikp[btab_s].reshape(Bs, mcl, dis).astype(jnp.float32)
+            is_lin = isf[btab_s].reshape(Bs, mcl)
+            sc = jnp.maximum(
+                jnp.einsum('bhd,btd->bht', iq_s.astype(jnp.float32),
+                           ik_lin), 0.0) * is_lin[:, None]
+            logits = jnp.einsum('bht,bh->bt', sc, iw)
+            col = jnp.arange(mcl, dtype=jnp.int32)[None]
+            logits = jnp.where(col < ctx_s[:, None], logits, -jnp.inf)
+            sel, valid = _topk_indices(logits, tks)
+            pg = jnp.clip(sel, 0, mcl - 1) // bkv_s
+            of = jnp.clip(sel, 0, mcl - 1) % bkv_s
+            rows = jnp.arange(Bs)[:, None]
+            blocks = btab_s[rows, jnp.clip(pg, 0, mps - 1)]
+            k_sel = kp[blocks, of]
+            v_sel = vp[blocks, of]
+            scr = jnp.einsum('bhd,bthd->bht', q_s.astype(jnp.float32),
+                             k_sel.astype(jnp.float32)) / np.sqrt(ds)
+            scr = jnp.where(valid[:, None, :], scr, -jnp.inf)
+            pr = jax.nn.softmax(scr, axis=-1)
+            out = jnp.einsum('bht,bthd->bhd', pr, v_sel.astype(jnp.float32))
+            return out[0, 0, 0]
+
+        def time_cycle(compute_fn, tag):
+            """Seconds per decode step in the SPLIT cadence: median device
+            time of the donated append jit + the compute jit (per-call
+            trace events; a fori_loop cannot express donation — loop-carried
+            caches copy twice, scripts/measure_serving_donate.py)."""
+            st = tuple(jax.block_until_ready(jnp.copy(x))
+                       for x in (kp_s, vp_s, ikp_s, isfp_s))
+            for _ in range(2):                       # compile + warm
+                st = tuple(serve_append(*st))
+                r = compute_fn(*st, iw_s)
+            trace_dir = f'/tmp/dgt_bench_serve_{tag}'
+            shutil.rmtree(trace_dir, ignore_errors=True)
+            with jax.profiler.trace(trace_dir):
+                for _ in range(12):
+                    st = tuple(serve_append(*st))
+                    r = compute_fn(*st, iw_s)
+                jax.block_until_ready(r)
+            durs = {}
+            paths = sorted(glob.glob(
+                os.path.join(trace_dir, '**', '*.trace.json.gz'),
+                recursive=True), key=os.path.getmtime)
+            with gzip.open(paths[-1], 'rt') as f:
+                tr = json.load(f)
+            for ev in tr.get('traceEvents', []):
+                if ev.get('ph') == 'X' and \
+                        ev.get('name', '').startswith('jit_serve'):
+                    durs.setdefault(ev['name'], []).append(ev['dur'])
+            total = 0.0
+            for name, ds_ in durs.items():
+                ds_.sort()
+                total += ds_[len(ds_) // 2]
+            assert total > 0.0, 'no jit_serve_* trace events'
+            return total / 1e6
+
         # Kernel path FIRST and emitted even if the (very slow to compile)
         # plain-JAX baseline leg dies — a flagship tokens/s number with
         # vs_baseline=0.0 beats losing the whole leg to a relay hiccup.
-        t_sv = _device_time_of(loop_sv, sargs, 'serving')
+        t_sv = time_cycle(serve_kernel, 'kernel')
         try:
-            t_sx = _device_time_of(loop_sx, sargs, 'serving_xla')
+            t_sx = time_cycle(serve_xla, 'xla')
             ratio = round(t_sx / t_sv, 3)
         except Exception as e:                        # noqa: BLE001
             print(f'[bench] serving XLA baseline failed: {e}',

@@ -116,6 +116,74 @@ def modeled_components_s(m: int, n: int, k_full: int, bm: int, bn: int,
     return t_hbm, t_mxu, gm * gn * gk * arch.step_overhead_s
 
 
+def get_dual_b_config(m: int, n: int, k: int, a_dtype, b_dtype, out_dtype,
+                      gran_k: int = 128, straddle_tiles: int = 0,
+                      arch=None) -> GemmConfig:
+    """Tile pick for the DUAL-B straddle contiguous kernel (r5 align128
+    path): bm is pinned to 256 and the B operand is resident TWICE (top-
+    and bottom-half group), so the VMEM model doubles the B term and keeps
+    an extra 2.5 MiB safety margin — the plain-budget (256, 256, 7168)
+    single-step pick RESOURCE_EXHAUSTED on real Mosaic (chipless AOT r5).
+
+    Ranking is by the dual-B traffic model (B restreams scaled by the
+    straddle fraction), NOT the dense lexicographic rules alone: the
+    single-k-step preference would pick bn=128, which re-inflates A
+    restreams (gn = n/128 passes) past everything the taller tiles save.
+    Ties fall back to the measured scaled-path order (gk, -bm, -bn)."""
+    from .arch import detect_arch
+    arch = arch or detect_arch()
+    a_bytes, b_bytes = _dtype_bytes(a_dtype), _dtype_bytes(b_dtype)
+    out_bytes = _dtype_bytes(out_dtype)
+    bm = 256
+    budget = arch.vmem_budget - (5 * 1024 * 1024) // 2   # 2.5 MiB margin
+    k_quantum = max(gran_k, MXU_DIM) if gran_k >= MXU_DIM else MXU_DIM
+    k_full = align(k, k_quantum)
+    gm = ceil_div(m, bm)
+
+    cands = []
+    for bn in (1024, 512, 256, MXU_DIM):
+        if bn > align(n, MXU_DIM):
+            continue
+        fixed = bm * bn * 4 + bm * bn * out_bytes * 2
+        per_k = (bm * a_bytes + 2 * bn * b_bytes) * 2
+        fit = (budget - fixed) // per_k if budget > fixed else 0
+        fit = min(k_full, fit // k_quantum * k_quantum)
+        if fit < k_quantum:
+            continue
+        cands.append((bm, bn, _equal_split_bk(k_full, fit, k_quantum)))
+    if not cands:
+        cands = [(bm, MXU_DIM, k_quantum)]
+
+    def dual_time(c):
+        _, bn, bk = c
+        gn, gk = ceil_div(n, bn), ceil_div(k_full, bk)
+        n_pad = gn * bn
+        a_traffic = gn * gm * bm * k_full * a_bytes
+        b_traffic = gm * n_pad * k_full * b_bytes \
+            * (1.0 + straddle_tiles / max(gm, 1))
+        out_traffic = gm * bm * n_pad * out_bytes
+        t_hbm = (a_traffic + b_traffic + out_traffic) / (arch.hbm_gbps * 1e9)
+        peak = arch.bf16_tflops * 1e12
+        if max(a_bytes, b_bytes) == 1 and not arch.fp8_direct:
+            peak *= 0.5
+        t_mxu = 2.0 * gm * bm * n_pad * k_full / peak
+        return max(t_hbm, t_mxu) + gm * gn * gk * arch.step_overhead_s
+
+    times = {c: dual_time(c) for c in cands}
+    t_min = min(times.values())
+
+    def score(c):
+        _, bn, bk = c
+        gn, gk = ceil_div(n, bn), ceil_div(k_full, bk)
+        waste = (gm * bm) * (gn * bn) / float(m * n) - 1.0
+        return (int((times[c] / t_min - 1.0) * 8), int(waste * 8),
+                gk, -bn)
+
+    bm, bn, bk = min(cands, key=score)
+    return GemmConfig(block_m=bm, block_n=bn, block_k=bk,
+                      scale_strategy='promote')
+
+
 def get_gemm_config(m: int, n: int, k: int,
                     a_dtype, b_dtype, out_dtype,
                     gran_k: int = 128,

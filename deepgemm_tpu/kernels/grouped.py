@@ -83,6 +83,20 @@ class GroupedGemmSpec:
     # blocks the same way (scheduler/gemm.cuh:200-216). Correct for ANY
     # masked_m; chosen on the expected_m hint only.
     pf_skip: bool = False
+    # DUAL-B straddle path (contiguous only; r5 align128 fix): bm=256 tiles
+    # over a 128-aligned-but-not-256-aligned host-concrete uneven layout.
+    # The bm=128 grid's B restreams are the measured align128 bound (each
+    # m-tile row streams every B block once: 64 passes at the bench layout);
+    # bm=256 halves them, but a 256-tall tile can STRADDLE a 128-aligned
+    # group boundary. Fix: B rides as TWO operands — B_top indexed by the
+    # tile's top-half group, B_bot by a chain that only CHANGES on straddle
+    # tiles (elsewhere frozen at the last straddle's group, plus j/s clamped
+    # to 0, so Mosaic's revisit-dedup skips its DMAs entirely — the pf-skip
+    # trick). Straddle tiles compute two 128-tall half dots; others one
+    # 256-tall dot. Bitwise vs the bm=128 static path at equal block_k
+    # (rows are independent in dot_general; the promote chain is row-local).
+    # Value: the group start rows (host constants), len G, starts[0] == 0.
+    dual_b_row_starts: Optional[tuple] = None
     # Swap-AB kernel body (the reference's MANDATORY layout for m-grouped
     # GEMMs, /root/reference/csrc/jit_kernels/heuristics/sm100.hpp:31-43):
     # per-tile dots run ``b_blk @ a_blk^T`` so the weight side is the MXU
@@ -230,6 +244,165 @@ def _build_contiguous(spec: GroupedGemmSpec):
         compiler_params=pltpu.CompilerParams(
             # m/n tiles are independent (only k accumulates) — 'parallel'
             # lets Mosaic schedule them like the dense kernel does
+            dimension_semantics=('parallel', 'parallel', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(flops=2 * m * n * k, bytes_accessed=0,
+                                      transcendentals=0),
+        interpret=is_cpu_backend(),
+    )
+    return jax.jit(call)
+
+
+def _build_contiguous_dual_b(spec: GroupedGemmSpec):
+    """Dual-B straddle kernel (see GroupedGemmSpec.dual_b_row_starts)."""
+    cfg = spec.cfg
+    bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
+    assert bm == 256 and spec.b_kmajor and not spec.zero_padded_rows
+    m, n, k = spec.m, spec.n, spec.k
+    gm, gn, gk = ceil_div(m, bm), ceil_div(n, bn), ceil_div(k, bk)
+    out_dtype = jnp.dtype(spec.out_dtype)
+    has_k_tail = (k % bk) != 0
+    half = bm // 2
+
+    starts = spec.dual_b_row_starts
+    # top-half group id: compare-chain over ceil(start/256) tile thresholds
+    thr_top = [ceil_div(s, bm) for s in starts[1:]]
+    # straddle tiles: one per 128-but-not-256-aligned group start
+    st_list = sorted((s - half) // bm for s in starts[1:] if s % bm == half)
+
+    def _bot_gid(tile):
+        return sum(1 for s in starts[1:] if s <= tile * bm + half)
+    # frozen B_bot chain: holds the LAST straddle tile's bottom group, so
+    # between straddles the computed index never changes (no DMAs); ON a
+    # straddle tile the chain equals that tile's real bottom gid.
+    froz_chain = []
+    prev = 0
+    for st in st_list:
+        g = _bot_gid(st)
+        froz_chain.append((st, g - prev))
+        prev = g
+
+    def _top(i):
+        g = 0
+        for t in thr_top:
+            g = g + jnp.where(i >= t, 1, 0)
+        return g
+
+    def _froz(i):
+        g = 0
+        for st, d in froz_chain:
+            g = g + jnp.where(i >= st, d, 0)
+        return g
+
+    def _is_str(i):
+        f = jnp.int32(0)
+        for st in st_list:
+            f = f | jnp.where(i == st, 1, 0)
+        return f
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, s: (i, s),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn, bk), lambda i, j, s: (_top(i), j, s),
+                     memory_space=pltpu.VMEM),
+        # B_bot: frozen chain + j/s clamped to 0 off-straddle, so the whole
+        # index tuple is constant between straddles (revisit-dedup)
+        pl.BlockSpec((1, bn, bk),
+                     lambda i, j, s: (_froz(i),
+                                      jnp.where(_is_str(i) == 1, j, 0),
+                                      jnp.where(_is_str(i) == 1, s, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    nsub_a = bk // spec.gran_k_a
+    nsub_b = bk // spec.gran_k_b
+    if spec.is_scaled:
+        in_specs.append(pl.BlockSpec((1, bm, nsub_a),
+                                     lambda i, j, s: (s, i, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 1, nsub_b, bn),
+                                     lambda i, j, s: (s, _top(i), 0, j),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, nsub_b, bn),
+            lambda i, j, s: (s, _froz(i),
+                             0, jnp.where(_is_str(i) == 1, j, 0)),
+            memory_space=pltpu.VMEM))
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, s: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        a_ref, bt_ref, bb_ref = refs[0], refs[1], refs[2]
+        if gk == 1:
+            d_ref, acc_ref = refs[-1], None
+        else:
+            d_ref, acc_ref = refs[-2], refs[-1]
+        i = pl.program_id(0)
+        ki = pl.program_id(2)
+        is_str = _is_str(i) == 1
+
+        if gk > 1:
+            @pl.when(ki == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a_blk = a_ref[:]
+        bt_blk = bt_ref[0]
+        if has_k_tail:
+            a_blk = mask_k_tail(a_blk, True, ki * bk, k)
+            bt_blk = mask_k_tail(bt_blk, True, ki * bk, k)
+
+        def _part(a_part, b_blk, sfa_rows, sfb_blk):
+            if spec.is_scaled:
+                return promote_block(spec, bk, k, a_part, b_blk,
+                                     sfa_rows, sfb_blk)
+            return dot_mn(a_part, b_blk, True, True)
+
+        def _emit(rows, part):
+            if gk == 1:
+                d_ref[rows] = part.astype(out_dtype)
+            else:
+                acc_ref[rows] += part
+
+        sfa_full = refs[3][0] if spec.is_scaled else None
+        sft = refs[4][0, 0] if spec.is_scaled else None
+
+        @pl.when(jnp.logical_not(is_str))
+        def _():
+            _emit(slice(None), _part(a_blk, bt_blk, sfa_full, sft))
+
+        @pl.when(is_str)
+        def _():
+            bb_blk = bb_ref[0]
+            if has_k_tail:
+                bb_blk = mask_k_tail(bb_blk, True, ki * bk, k)
+            sfb = refs[5][0, 0] if spec.is_scaled else None
+            _emit(slice(0, half),
+                  _part(a_blk[:half],
+                        bt_blk, None if sfa_full is None else
+                        sfa_full[:half], sft))
+            _emit(slice(half, bm),
+                  _part(a_blk[half:],
+                        bb_blk, None if sfa_full is None else
+                        sfa_full[half:], sfb))
+
+        if gk > 1:
+            @pl.when(ki == gk - 1)
+            def _():
+                d_ref[:] = acc_ref[:].astype(out_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(gm, gn, gk),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=([] if gk == 1 else
+                        [pltpu.VMEM((bm, bn), jnp.float32)]),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary'),
         ),
         cost_estimate=pl.CostEstimate(flops=2 * m * n * k, bytes_accessed=0,
@@ -447,6 +620,31 @@ def compute_tile_gids(grouped_layout: jnp.ndarray, num_groups: int, m: int,
     return gids, row_ends
 
 
+def _host_uneven_starts(grouped_layout, num_groups: int, m: int,
+                        use_psum_layout: bool, mk_alignment: int):
+    """Host-concrete per-group start rows + layout monotonicity (shared by
+    the static-uneven compare-chain and dual-B paths). Absent groups
+    back-fill from the next present one (zero tiles either way)."""
+    import numpy as _np
+    lay = _np.asarray(grouped_layout).astype(_np.int64)
+    if use_psum_layout:
+        prev = _np.concatenate([[0], lay[:-1]])
+        starts = (prev + mk_alignment - 1) // mk_alignment * mk_alignment
+        monotone = bool(_np.all(_np.diff(lay) >= 0))
+    else:
+        valid = lay >= 0
+        monotone = bool(_np.all(_np.diff(lay[valid]) >= 0))
+        starts = _np.full((num_groups,), m, _np.int64)
+        for g in range(num_groups - 1, -1, -1):
+            occ = _np.nonzero(lay == g)[0]
+            if occ.size:
+                starts[g] = occ[0]
+            elif g + 1 < num_groups:
+                starts[g] = starts[g + 1]
+    starts[0] = 0
+    return starts, monotone
+
+
 def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
                               sfa=None, sfb_t=None, b_kmajor: bool = True,
                               gran_k_a: int = 128, gran_k_b: int = 128,
@@ -458,6 +656,7 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
     num_groups = b.shape[0]
     n = b.shape[1] if b_kmajor else b.shape[2]
     is_scaled = sfa is not None
+    user_cfg = cfg is not None
 
     mk_alignment = runtime().mk_alignment
     if cfg is None:
@@ -528,27 +727,43 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
             and not isinstance(grouped_layout, jax.core.Tracer)
             and not _os.environ.get('DGT_GROUPED_FORCE_PREFETCH')):
         import numpy as _np
-        lay = _np.asarray(grouped_layout).astype(_np.int64)
-        if use_psum_layout:
-            prev = _np.concatenate([[0], lay[:-1]])
-            starts = (prev + mk_alignment - 1) // mk_alignment * mk_alignment
-            monotone = bool(_np.all(_np.diff(lay) >= 0))
-        else:
-            valid = lay >= 0
-            monotone = bool(_np.all(_np.diff(lay[valid]) >= 0))
-            # first-occurrence row per group; absent groups back-fill from
-            # the next present one (zero tiles — same contract either way)
-            starts = _np.full((num_groups,), m, _np.int64)
-            for g in range(num_groups - 1, -1, -1):
-                occ = _np.nonzero(lay == g)[0]
-                if occ.size:
-                    starts[g] = occ[0]
-                elif g + 1 < num_groups:
-                    starts[g] = starts[g + 1]
-        starts[0] = 0
+        starts, monotone = _host_uneven_starts(
+            grouped_layout, num_groups, m, use_psum_layout, mk_alignment)
         if monotone and bool(_np.all(starts % cfg.block_m == 0)):
             static_starts = tuple(int(s) // cfg.block_m for s in starts[1:])
 
+    # DUAL-B straddle path (see GroupedGemmSpec.dual_b_row_starts): a
+    # 128-aligned-but-not-256-aligned uneven layout runs bm=256 tiles with
+    # a second dedup-clamped B operand — B passes drop from m/128 to
+    # m/256 + straddle_count (64 -> 36 at the bench align128 layout).
+    # DGT_GROUPED_DUAL_B={0,1} pins; auto takes it whenever structurally
+    # legal (host-concrete strictly-monotone starts, all 128-aligned, at
+    # least one 128-odd, m % 256 == 0, k-major B, no zero-padding).
+    dual_starts = None
+    _env_dual = _os.environ.get('DGT_GROUPED_DUAL_B')
+    if (static_tpg is None and not ensure_zero_padding and b_kmajor
+            and not user_cfg and m % 256 == 0
+            and _env_dual != '0'
+            and _os.environ.get('DGT_GROUPED_SWAP_AB') != '1'
+            and not isinstance(grouped_layout, jax.core.Tracer)
+            and not _os.environ.get('DGT_GROUPED_FORCE_PREFETCH')):
+        import numpy as _np
+        starts, monotone = _host_uneven_starts(
+            grouped_layout, num_groups, m, use_psum_layout, mk_alignment)
+        strict = bool(_np.all(_np.diff(starts) > 0))
+        if (monotone and strict and bool(_np.all(starts % 128 == 0))
+                and bool(_np.any(starts % 256 == 128))):
+            from ..heuristics.configs import get_dual_b_config
+            dual_starts = tuple(int(s) for s in starts)
+            straddles = sum(1 for s in dual_starts if s % 256 == 128)
+            cfg = get_dual_b_config(
+                m, n, k, a.dtype, b.dtype, out_dtype,
+                gran_k=min(gran_k_a, gran_k_b) if is_scaled else 128,
+                straddle_tiles=straddles)
+            static_starts = None
+
+    if dual_starts is not None:
+        swap_ab = False
     if swap_ab is None:
         # DGT_GROUPED_SWAP_AB={0,1} pins for A/B profiling.
         _env_sw = _os.environ.get('DGT_GROUPED_SWAP_AB')
@@ -570,10 +785,15 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
         gran_k_a=gran_k_a, gran_k_b=gran_k_b,
         zero_padded_rows=ensure_zero_padding, cfg=cfg,
         static_tpg=static_tpg, static_tile_starts=static_starts,
-        swap_ab=bool(swap_ab))
-    fn = kernel_cache().get_or_build(spec, lambda: _build_contiguous(spec))
+        dual_b_row_starts=dual_starts, swap_ab=bool(swap_ab))
+    fn = kernel_cache().get_or_build(
+        spec, lambda: (_build_contiguous_dual_b(spec)
+                       if spec.dual_b_row_starts is not None
+                       else _build_contiguous(spec)))
 
-    if static_tpg is not None or static_starts is not None:
+    if dual_starts is not None:
+        args = [a, b, b]
+    elif static_tpg is not None or static_starts is not None:
         args = [a, b]
     else:
         gids, row_ends = compute_tile_gids(grouped_layout, num_groups, m,
@@ -592,7 +812,8 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
             # [gk, G, nsub, n] -> [gk, G, n, nsub]
             sfa = jnp.swapaxes(sfa, 1, 2)
             sfb_t = jnp.swapaxes(sfb_t, 2, 3)
-        args += [sfa, sfb_t]
+        args += ([sfa, sfb_t, sfb_t] if dual_starts is not None
+                 else [sfa, sfb_t])
     return fn(*args)
 
 

@@ -29,8 +29,20 @@ NEG_INF = float('-inf')
 
 
 def _topk_indices(logits: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row top-k kv positions (sorted by score) + validity mask
-    (rows may have fewer than k in-range positions; -inf slots are invalid)."""
+    """Per-row top-k kv positions + validity mask (rows may have fewer than
+    k in-range positions; those slots are invalid).
+
+    Method is pinnable via ``DGT_TOPK_METHOD``: ``sort`` (default —
+    ``lax.top_k``'s fused per-row sort, measured 126 us at [64, 4096]->512)
+    or ``select`` (models/topk.topk_select, the no-sort bisection +
+    scatter-compaction tier — measured 1476 us at the same shape, kept for
+    very-large-n/small-k regimes). Both return the same selected SET;
+    ``sort`` orders by score, ``select`` by ascending position — consumers
+    here are order-insensitive (softmax over the selected set)."""
+    import os
+    if os.environ.get('DGT_TOPK_METHOD', 'sort') == 'select':
+        from .topk import topk_select
+        return topk_select(logits, k)
     vals, idx = jax.lax.top_k(logits, k)
     return idx.astype(jnp.int32), jnp.isfinite(vals)
 
@@ -64,7 +76,12 @@ def indexer_sparse_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     k_sel = k[jnp.clip(sel, 0, skv - 1)]                   # [sq, topk, h, d]
     v_sel = v[jnp.clip(sel, 0, skv - 1)]
 
-    # 3. exact attention over the selected positions only
+    # 3. exact attention over the selected positions only — fused Pallas
+    #    when the shape qualifies (kernels/sparse_attn.py: one program for
+    #    score/softmax/weighted-sum, intermediates never leave VMEM)
+    from ..kernels.sparse_attn import gathered_attention, use_fused
+    if use_fused(topk, h, d):
+        return gathered_attention(q, k_sel, v_sel, valid, scale)
     scores = jnp.einsum('qhd,qthd->qht', q.astype(jnp.float32),
                         k_sel.astype(jnp.float32)) * scale
     scores = jnp.where(valid[:, None, :], scores, NEG_INF)
@@ -108,6 +125,10 @@ def indexer_sparse_decode(q: jnp.ndarray,
     k_sel = k_pages[blocks, offs]                           # [B, topk, h, d]
     v_sel = v_pages[blocks, offs]
 
+    from ..kernels.sparse_attn import gathered_attention, use_fused
+    if use_fused(topk, h, d):
+        return gathered_attention(q[:, 0], k_sel, v_sel, valid,
+                                  scale)[:, None]
     scores = jnp.einsum('bhd,bthd->bht', q[:, 0].astype(jnp.float32),
                         k_sel.astype(jnp.float32)) * scale
     scores = jnp.where(valid[:, None, :], scores, NEG_INF)
