@@ -57,3 +57,29 @@ def test_lower_k_grouped_static_and_prefetch(mosaic_env, monkeypatch):
     _lower_tpu(f, *args)                                   # static path
     monkeypatch.setenv('DGT_KG_FORCE_PREFETCH', '1')
     _lower_tpu(f, *args)                                   # dynamic path
+
+
+def test_lower_sparse_attn_and_dual_b(mosaic_env, monkeypatch):
+    """r5 kernels through the real Mosaic lowering: the fused post-gather
+    sparse attention (whose softmax orientation exists BECAUSE the device
+    compiler rejects sublane-dim 2D reductions — interpret mode accepts
+    them) and the dual-B straddle contiguous kernel."""
+    import numpy as np
+    from jax import ShapeDtypeStruct as S
+    from deepgemm_tpu.kernels.sparse_attn import gathered_attention
+    _lower_tpu(lambda q, ks, vs, valid: gathered_attention(
+                   q, ks, vs, valid, 0.0883883),
+               S((2, 2, 128), jnp.bfloat16),
+               S((2, 16, 2, 128), jnp.bfloat16),
+               S((2, 16, 2, 128), jnp.bfloat16),
+               S((2, 16), jnp.bool_))
+
+    monkeypatch.setenv('DGT_GROUPED_DUAL_B', '1')
+    sizes = [128, 384, 256]
+    ids = jnp.asarray(np.repeat(np.arange(3, dtype=np.int32), sizes))
+    f8 = jnp.float8_e4m3fn
+    _lower_tpu(lambda a, sa, b, sb: dg.m_grouped_fp8_gemm_nt_contiguous(
+                   (a, sa), (b, sb), grouped_layout=ids,
+                   use_psum_layout=False),
+               S((768, 256), f8), S((768, 2), jnp.float32),
+               S((3, 256, 256), f8), S((3, 2, 2), jnp.float32))
