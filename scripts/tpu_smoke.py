@@ -168,6 +168,39 @@ def main():
     zc_diff = 0.0 if np.array_equal(np.asarray(lgz), np.asarray(lgp)) else 1.0
     check('paged zerocopy==gather (bitwise)', zc_diff, 1e-9)
 
+    # fused post-gather sparse attention (r5) vs host oracle
+    Bs5, t5, h5, d5 = 8, 64, 8, 128
+    q5 = jnp.asarray(rng.randn(Bs5, h5, d5), jnp.bfloat16)
+    k5 = jnp.asarray(rng.randn(Bs5, t5, h5, d5), jnp.bfloat16)
+    v5 = jnp.asarray(rng.randn(Bs5, t5, h5, d5), jnp.bfloat16)
+    valid5 = jnp.asarray(rng.rand(Bs5, t5) > 0.2).at[:, 0].set(True)
+    from deepgemm_tpu.kernels.sparse_attn import gathered_attention
+    o5 = gathered_attention(q5, k5, v5, valid5, 1.0 / np.sqrt(d5))
+    qf, kf, vf = (np.asarray(x, np.float32) for x in (q5, k5, v5))
+    scr5 = np.einsum('bhd,bthd->bth', qf, kf) / np.sqrt(d5)
+    scr5[~np.asarray(valid5)] = -np.inf
+    e5 = np.exp(scr5 - scr5.max(1, keepdims=True))
+    e5[~np.asarray(valid5)] = 0.0
+    ref5 = np.einsum('bth,bthd->bhd', e5 / e5.sum(1, keepdims=True), vf)
+    check('sparse_gathered_attention', calc_diff(
+        np.asarray(o5, np.float32), ref5), 2e-3)
+
+    # dual-B straddle contiguous (r5) must be bitwise vs the plain path
+    import os as _os
+    sizes5 = [128, 384, 256]
+    ids5 = jnp.asarray(np.repeat(np.arange(3, dtype=np.int32), sizes5))
+    a5 = jnp.asarray(rng.randn(sum(sizes5), 1024), jnp.bfloat16)
+    b5 = jnp.asarray(rng.randn(3, 512, 1024) * 0.1, jnp.bfloat16)
+    outs5 = {}
+    for mode in ('0', '1'):
+        _os.environ['DGT_GROUPED_DUAL_B'] = mode
+        outs5[mode] = dg.m_grouped_bf16_gemm_nt_contiguous(
+            a5, b5, grouped_layout=ids5, use_psum_layout=False)
+    _os.environ.pop('DGT_GROUPED_DUAL_B', None)
+    dual_diff = 0.0 if np.array_equal(np.asarray(outs5['0']),
+                                      np.asarray(outs5['1'])) else 1.0
+    check('grouped dual-B==plain (bitwise)', dual_diff, 1e-9)
+
     print(f'total {time.perf_counter() - t0:.0f}s; '
           f'{"ALL PASS" if not failures else "FAILURES: " + str(failures)}',
           flush=True)
