@@ -122,8 +122,17 @@ def indexer_sparse_decode(q: jnp.ndarray,
     offs = jnp.clip(sel, 0, max_context_len - 1) % block_kv
     rows = jnp.arange(b)[:, None]
     blocks = jnp.clip(block_table, 0, num_blocks - 1)[rows, jnp.clip(pages, 0, mb - 1)]
-    k_sel = k_pages[blocks, offs]                           # [B, topk, h, d]
-    v_sel = v_pages[blocks, offs]
+    import os
+    if os.environ.get('DGT_SPARSE_GATHER', 'flat') == 'flat':
+        # FLAT token index into the (free) [nb*bkv, h, d] view — one
+        # 1-level XLA gather instead of the 2-level [blocks, offs] form
+        # (same rows; A/B'd on chip via DGT_SPARSE_GATHER=2level)
+        tok = blocks * block_kv + offs                      # [B, topk]
+        k_sel = k_pages.reshape(-1, *k_pages.shape[2:])[tok]
+        v_sel = v_pages.reshape(-1, *v_pages.shape[2:])[tok]
+    else:
+        k_sel = k_pages[blocks, offs]                       # [B, topk, h, d]
+        v_sel = v_pages[blocks, offs]
 
     from ..kernels.sparse_attn import gathered_attention, use_fused
     if use_fused(topk, h, d):

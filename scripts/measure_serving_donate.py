@@ -293,6 +293,49 @@ def main():
         os.environ.pop('DGT_TOPK_METHOD', None)
 
 
-if __name__ == '__main__':
+if __name__ == '__main__' and 'attn' not in sys.argv:
     main()
 
+
+# appended r5b: fused-vs-XLA attention tail inside the full donated step
+# (run as `python scripts/measure_serving_donate.py attn`); also A/Bs the
+# flat vs 2-level sparse gather form.
+def attn_ab():
+    from deepgemm_tpu.models.indexer import indexer_sparse_decode
+    import deepgemm_tpu as dg
+    dg.init_persistent_cache()
+    rng = np.random.RandomState(0)
+    Bs, bkv, mps = 64, 64, 64
+    nbs = Bs * mps
+    hs, ds, his, dis, tks = 8, 128, 32, 128, 512
+    mcl = bkv * mps
+    kp = jnp.asarray(rng.randn(nbs, bkv, hs, ds) * 0.1, jnp.bfloat16)
+    vp = jnp.asarray(rng.randn(nbs, bkv, hs, ds) * 0.1, jnp.bfloat16)
+    ikp = jnp.clip(jnp.asarray(rng.randn(nbs, bkv, dis), jnp.float32),
+                   -448, 448).astype(jnp.float8_e4m3fn)
+    isfp = jnp.asarray(rng.rand(nbs, bkv).astype(np.float32))
+    btab = jnp.asarray(rng.permutation(nbs).reshape(Bs, mps), jnp.int32)
+    ctx = jnp.full((Bs,), mcl, jnp.int32)
+    q = jnp.asarray(rng.randn(Bs, hs, ds) * 0.1, jnp.bfloat16)
+    iq = jnp.asarray(rng.randn(Bs, his, dis) * 0.1, jnp.bfloat16)
+    iw = jnp.asarray(rng.randn(Bs, his).astype(np.float32))
+
+    def full(kp_, vp_, ik_, is_, iw_):
+        r = indexer_sparse_decode(
+            q[:, None], (kp_, vp_), (ik_, is_), iq[:, None], iw_,
+            ctx, btab, mcl, tks)
+        return kp_, vp_, ik_, is_, r.astype(jnp.float32)[0, 0, 0, 0]
+
+    state = (kp, vp, ikp, isfp)
+    for attn in ('xla', 'fused'):
+        for gather in ('2level', 'flat'):
+            os.environ['DGT_SPARSE_ATTN'] = attn
+            os.environ['DGT_SPARSE_GATHER'] = gather
+            timed_calls(jax.jit(full, donate_argnums=(0, 1, 2, 3)),
+                        state, (iw,), f'A6 compute attn={attn} g={gather}')
+    for k in ('DGT_SPARSE_ATTN', 'DGT_SPARSE_GATHER'):
+        os.environ.pop(k, None)
+
+
+if __name__ == '__main__' and 'attn' in sys.argv:
+    attn_ab()
