@@ -736,14 +736,22 @@ def m_grouped_gemm_contiguous(a, b, grouped_layout, *, use_psum_layout: bool,
     # 128-aligned-but-not-256-aligned uneven layout runs bm=256 tiles with
     # a second dedup-clamped B operand — B passes drop from m/128 to
     # m/256 + straddle_count (64 -> 36 at the bench align128 layout).
-    # DGT_GROUPED_DUAL_B={0,1} pins; auto takes it whenever structurally
-    # legal (host-concrete strictly-monotone starts, all 128-aligned, at
-    # least one 128-odd, m % 256 == 0, k-major B, no zero-padding).
+    # MEASURED NEGATIVE on v5e (r5 on-chip A/B): 161.9 vs the bm=128
+    # static path's 176.7 TFLOPS. Mechanism: the second resident B operand
+    # costs VMEM, and every single-k-step (bk=7168) dual config
+    # RESOURCE_EXHAUSTs on real Mosaic (chipless-AOT-confirmed at bn 256/
+    # 384/512) — so dual-B is structurally pinned to >= 2 k steps, and the
+    # k-split (the measured ~15-TFLOPS single-step effect; 161.9 matches
+    # the 2-step class exactly) outweighs the B-restream saving. The dual
+    # machinery itself is ~free. Kept as a pin-only layout tier
+    # (DGT_GROUPED_DUAL_B=1) with bitwise tests; legality: host-concrete
+    # strictly-monotone starts, all 128-aligned, at least one 128-odd,
+    # m % 256 == 0, k-major B, no zero-padding.
     dual_starts = None
     _env_dual = _os.environ.get('DGT_GROUPED_DUAL_B')
     if (static_tpg is None and not ensure_zero_padding and b_kmajor
             and not user_cfg and m % 256 == 0
-            and _env_dual != '0'
+            and _env_dual == '1'
             and _os.environ.get('DGT_GROUPED_SWAP_AB') != '1'
             and not isinstance(grouped_layout, jax.core.Tracer)
             and not _os.environ.get('DGT_GROUPED_FORCE_PREFETCH')):

@@ -123,10 +123,28 @@ def indexer_sparse_decode(q: jnp.ndarray,
     rows = jnp.arange(b)[:, None]
     blocks = jnp.clip(block_table, 0, num_blocks - 1)[rows, jnp.clip(pages, 0, mb - 1)]
     import os
-    if os.environ.get('DGT_SPARSE_GATHER', 'flat') == 'flat':
+    gather_mode = os.environ.get('DGT_SPARSE_GATHER', 'flat')
+    if gather_mode == 'pallas':
+        # GATHER-FUSED Pallas path: no XLA gather at all — the kernel
+        # streams each row's selected tokens from the in-HBM cache with
+        # per-token async copies under an online softmax
+        # (kernels/sparse_attn.py:sparse_attention_paged). The XLA gather
+        # is the measured bound of the decode compute step (~2x846 us of
+        # 2121 at the serving shape; the attention tail rides in its
+        # shadow — fused-vs-XLA attention measured a wash, 2026-08-20).
+        from ..kernels.sparse_attn import (sparse_attention_paged,
+                                           paged_eligible)
+        if paged_eligible(topk, h, d):
+            tok = blocks * block_kv + offs                  # [B, topk]
+            return sparse_attention_paged(
+                q[:, 0], k_pages.reshape(-1, *k_pages.shape[2:]),
+                v_pages.reshape(-1, *v_pages.shape[2:]), tok, valid,
+                scale)[:, None].astype(q.dtype)
+        gather_mode = 'flat'
+    if gather_mode == 'flat':
         # FLAT token index into the (free) [nb*bkv, h, d] view — one
         # 1-level XLA gather instead of the 2-level [blocks, offs] form
-        # (same rows; A/B'd on chip via DGT_SPARSE_GATHER=2level)
+        # (same rows; A/B'd on chip via DGT_SPARSE_GATHER=2level: a wash)
         tok = blocks * block_kv + offs                      # [B, topk]
         k_sel = k_pages.reshape(-1, *k_pages.shape[2:])[tok]
         v_sel = v_pages.reshape(-1, *v_pages.shape[2:])[tok]

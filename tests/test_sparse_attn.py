@@ -93,3 +93,52 @@ def test_indexer_decode_fused_matches_xla(monkeypatch):
     out_xla = indexer_sparse_decode(*args)
     assert calc_diff(out_fused.astype(jnp.float32),
                      out_xla.astype(jnp.float32)) < 1e-5
+
+
+@pytest.mark.parametrize('rows,t,h,d,n', [(4, 64, 8, 128, 256),
+                                          (3, 24, 2, 128, 100)])
+def test_sparse_attention_paged_vs_gathered(rows, t, h, d, n):
+    """The gather-fused paged kernel must match the gathered kernel (same
+    math, different data movement) and the f64 oracle."""
+    from deepgemm_tpu.kernels.sparse_attn import sparse_attention_paged
+    rng = np.random.RandomState(21)
+    q = jnp.asarray(rng.randn(rows, h, d), jnp.bfloat16)
+    cache = jnp.asarray(rng.randn(n, h, d), jnp.bfloat16)
+    tok = jnp.asarray(rng.randint(0, n, (rows, t)), jnp.int32)
+    valid = jnp.asarray(rng.rand(rows, t) > 0.3).at[:, 0].set(True)
+    scale = 1.0 / np.sqrt(d)
+    out_p = sparse_attention_paged(q, cache, cache, tok, valid, scale)
+    k_sel = cache[tok]
+    out_g = gathered_attention(q, k_sel, k_sel, valid, scale)
+    assert calc_diff(out_p.astype(jnp.float32),
+                     np.asarray(out_g, np.float32)) < 1e-6
+    ref = _oracle(q, k_sel, k_sel, valid, scale)
+    assert calc_diff(out_p.astype(jnp.float32), ref) < 2e-3
+
+
+def test_indexer_decode_pallas_gather_matches_flat(monkeypatch):
+    """DGT_SPARSE_GATHER=pallas end-to-end through the indexer decode."""
+    from deepgemm_tpu.models.indexer import indexer_sparse_decode
+    rng = np.random.RandomState(23)
+    B, h, d, hi, di, topk = 4, 2, 128, 2, 32, 16
+    bkv, mps = 16, 4
+    nbs = B * mps
+    mcl = bkv * mps
+    kp = jnp.asarray(rng.randn(nbs, bkv, h, d) * 0.2, jnp.bfloat16)
+    vp = jnp.asarray(rng.randn(nbs, bkv, h, d) * 0.2, jnp.bfloat16)
+    ikp = jnp.clip(jnp.asarray(rng.randn(nbs, bkv, di), jnp.float32),
+                   -448, 448).astype(jnp.float8_e4m3fn)
+    isfp = jnp.asarray(rng.rand(nbs, bkv).astype(np.float32))
+    btab = jnp.asarray(rng.permutation(nbs).reshape(B, mps), jnp.int32)
+    ctx = jnp.asarray(rng.randint(topk + 1, mcl, B), jnp.int32)
+    q = jnp.asarray(rng.randn(B, 1, h, d), jnp.bfloat16)
+    iq = jnp.asarray(rng.randn(B, 1, hi, di), jnp.bfloat16)
+    iw = jnp.asarray(rng.rand(B, hi).astype(np.float32))
+    args = (q, (kp, vp), (ikp, isfp), iq, iw, ctx, btab, mcl, topk)
+    monkeypatch.setenv('DGT_SPARSE_GATHER', 'pallas')
+    out_p = indexer_sparse_decode(*args)
+    monkeypatch.setenv('DGT_SPARSE_GATHER', 'flat')
+    monkeypatch.setenv('DGT_SPARSE_ATTN', 'fused')
+    out_f = indexer_sparse_decode(*args)
+    assert calc_diff(out_p.astype(jnp.float32),
+                     out_f.astype(jnp.float32)) < 1e-5
