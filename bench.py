@@ -733,6 +733,24 @@ def main():
         B.emit_op('fp8_paged_mqa_decode_zerocopy_paired', round(gbps_p, 1),
                   'GB/s_effective', round(gbps_p / HBM_GBPS, 3))
 
+        # zero-copy with the r5 QUAD-aligned allocator layout (logical
+        # pages 4i..4i+3 physically adjacent): level-2 coalescing folds
+        # each quad into ONE 32KB DMA (pure-DMA ceiling 732; measured
+        # 682.5 = 0.833 of HBM on 2026-08-20, scripts/measure_zc_quad.py).
+        quads_p = rng.permutation(nb // 4)
+        btab_quad = jnp.asarray(
+            np.stack([quads_p * 4 + j for j in range(4)], 1).reshape(Bp, bps),
+            jnp.int32)
+        loop_pq = _loop(lambda i, q_, w_, kv_, ks_:
+                        dg.fp8_fp4_paged_mqa_logits(
+                            (jnp.roll(q_, i, 0), None), (kv_, ks_), w_, ctx,
+                            btab_quad, max_context_len=mml,
+                            strategy='paged')[0, 0].astype(jnp.float32))
+        t_pq = _device_time_of(loop_pq, (qp, wp, kvq, kvs), 'paged_zc_quad')
+        gbps_q = cache_bytes / t_pq / 1e9
+        B.emit_op('fp8_paged_mqa_decode_zerocopy_quad', round(gbps_q, 1),
+                  'GB/s_effective', round(gbps_q / HBM_GBPS, 3))
+
     B.run('paged', leg_paged)
 
     if B.skipped:
