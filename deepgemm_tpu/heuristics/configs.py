@@ -240,6 +240,7 @@ def get_gemm_config(m: int, n: int, k: int,
         cap = align(m, min_sub)
         bm_cands = sorted({min(c, cap) for c in (256, 128, 64, min_sub)},
                           reverse=True)
+    small_m = m <= MXU_DIM and is_scaled and not is_grouped_m
     if n % MXU_DIM == 0:
         bn_cands = [c for c in (1024, 512, 256, MXU_DIM)
                     if c <= align(n, MXU_DIM)] or [MXU_DIM]
@@ -248,6 +249,14 @@ def get_gemm_config(m: int, n: int, k: int,
         # block; the aligned fallbacks keep VMEM-constrained cases legal.
         bn_cands = [n] + [c for c in (1024, 512, 256, MXU_DIM)
                           if c <= align(n, MXU_DIM)]
+    if small_m and align(n, MXU_DIM) not in bn_cands:
+        # decode-GEMM regime (m <= 128): the FULL-n tile measured best on
+        # chip — (128, 4096, 1024) = 149.3 TFLOPS vs the gk=1 (128, 512,
+        # 7168) pick's 138.1 (scripts/measure_small_m.py, r5); at one m
+        # tile the k-split costs less than the n-split's per-step promote
+        # exposure, and the unscaled ceiling at this shape is 149.8 — the
+        # epilogue is fully hidden at this tile.
+        bn_cands.insert(0, align(n, MXU_DIM))
 
     cands = []
     for bm in bm_cands:
@@ -278,6 +287,12 @@ def get_gemm_config(m: int, n: int, k: int,
         # the step-count and block-width terms.
         waste = (gm * bm) * (gn * bn) / float(m * n) - 1.0
         waste_bucket = int(waste * 8)
+        if small_m:
+            # m <= 128 scaled dense: fewest n tiles first (the full-n
+            # candidate above), THEN fewest k steps — the measured decode
+            # order (149.3 > 145.3 > 142.1 > 138.1 is gn 1 < 16 < 4 < 8
+            # only under gn-first ranking).
+            return (time_bucket, waste_bucket, gn, gk, -bm)
         if is_scaled:
             # bm before bn: (256,256,8192) measured 180.8 vs (128,512,8192)
             # peers and (256,1024,4096) at 177.0 on the 4096x7168x8192 wgrad

@@ -882,15 +882,20 @@ def m_grouped_gemm_masked(a, b, masked_m, *, sfa=None, sfb_t=None,
             out_dtype=out_dtype)
         return d.reshape(num_groups, max_m, n)
     # Low-occupancy pf-skip choice (see GroupedGemmSpec.pf_skip): when the
-    # expected_m hint says at most half the m-tiles are active, B-restream
-    # traffic is the bound and clamped index maps recover it. The hint never
+    # expected_m hint says the batch is partially occupied: the r5 on-chip
+    # occupancy sweep (scripts/measure_pf_crossover.py, 2026-08-20) shows
+    # pf-skip wins at EVERY partial occupancy — eff-TFLOPS pf vs predicated:
+    # occ 1/8: 36.0/5.8, 1/4: 76.7/23.1, 1/2: 151.5/89.0, 3/4: 163.7/110.1
+    # (full occupancy: equal at 189.6, rerouted anyway) — so the old
+    # `expected_m*2 <= max_m` threshold was far too conservative; B-restream
+    # dedup pays whenever ANY m-tile is expected inactive. The hint never
     # changes semantics. DGT_MASKED_PF_SKIP={0,1} pins it for A/B profiling.
     _env_pf = _os.environ.get('DGT_MASKED_PF_SKIP')
     if _env_pf is not None:
         pf_skip = _env_pf == '1'
     else:
         pf_skip = (not no_exit and expected_m is not None
-                   and expected_m * 2 <= max_m)
+                   and expected_m < max_m)
     if swap_ab is None:
         # DGT_MASKED_SWAP_AB={0,1} pins for A/B profiling.
         _env_sw = _os.environ.get('DGT_MASKED_SWAP_AB')

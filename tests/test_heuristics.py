@@ -188,3 +188,38 @@ def test_modeled_time_predicts_wgrad_hbm_bound():
                                            1, 1, 4, arch, accum_read=False)
     hbm_w *= 4; mxu_w *= 4
     assert hbm_w < 0.75 * mxu_w, (hbm_w, mxu_w)
+
+
+def test_small_m_decode_full_n_pick():
+    """r5 on-chip sweep (scripts/measure_small_m.py): at the decode shape
+    (m=128) the FULL-n tile wins — (128, 4096, 1024) = 149.3 TFLOPS vs the
+    single-k-step (128, 512, 7168)'s 138.1; gn-first ranking below m<=128.
+    Grouped-m and bf16 paths keep their orders."""
+    import jax.numpy as jnp
+    c = get_gemm_config(128, 4096, 7168, jnp.float8_e4m3fn,
+                        jnp.float8_e4m3fn, jnp.bfloat16,
+                        scale_strategy='promote')
+    assert (c.block_m, c.block_n, c.block_k) == (128, 4096, 1024)
+    # big-m picks unchanged by the small-m rule
+    c2 = get_gemm_config(8192, 4096, 7168, jnp.float8_e4m3fn,
+                         jnp.float8_e4m3fn, jnp.bfloat16,
+                         scale_strategy='promote')
+    assert (c2.block_m, c2.block_n, c2.block_k) == (256, 512, 7168)
+
+
+def test_pf_skip_any_partial_occupancy(monkeypatch):
+    """r5 occupancy sweep (scripts/measure_pf_crossover.py): pf-skip wins
+    at EVERY partial occupancy (3/4: 163.7 vs 110.1), so the chooser takes
+    it whenever expected_m < max_m (not only <= max_m/2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from deepgemm_tpu.kernels.grouped import m_grouped_gemm_masked
+    from deepgemm_tpu.runtime.cache import kernel_cache
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(2, 64, 128), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(2, 128, 128), jnp.bfloat16)
+    mm = jnp.asarray([48, 16], jnp.int32)
+    kernel_cache().clear()
+    m_grouped_gemm_masked(a, b, mm, expected_m=48)     # 3/4 occupancy
+    assert any(getattr(s, 'pf_skip', False)
+               for s in kernel_cache().specs()), 'pf-skip must be chosen'
