@@ -240,7 +240,17 @@ def get_gemm_config(m: int, n: int, k: int,
         cap = align(m, min_sub)
         bm_cands = sorted({min(c, cap) for c in (256, 128, 64, min_sub)},
                           reverse=True)
-    small_m = m <= MXU_DIM and is_scaled and not is_grouped_m
+    # Small-m full-n tile: the r5 isolated sweep (measure_small_m) read
+    # (128,4096,1024) = 149.3 vs the gk=1 pick's 138.1 TFLOPS, but the
+    # BENCH-form leg measured the OPPOSITE order (148.1 vs 151.9) — the
+    # two harnesses disagree by more than either delta (the sweep's
+    # kernel-layer call vs the bench's ops-layer call at the same tiles:
+    # 138.1 vs 151.9 for the SAME config). Until that discrepancy is
+    # resolved the shipping default keeps the single-k-step pick;
+    # DGT_DENSE_SMALLM_FULLN=1 pins the sweep's winner.
+    import os as _os
+    small_m = (m <= MXU_DIM and is_scaled and not is_grouped_m
+               and _os.environ.get('DGT_DENSE_SMALLM_FULLN') == '1')
     if n % MXU_DIM == 0:
         bn_cands = [c for c in (1024, 512, 256, MXU_DIM)
                     if c <= align(n, MXU_DIM)] or [MXU_DIM]

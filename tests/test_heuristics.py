@@ -190,12 +190,16 @@ def test_modeled_time_predicts_wgrad_hbm_bound():
     assert hbm_w < 0.75 * mxu_w, (hbm_w, mxu_w)
 
 
-def test_small_m_decode_full_n_pick():
-    """r5 on-chip sweep (scripts/measure_small_m.py): at the decode shape
-    (m=128) the FULL-n tile wins — (128, 4096, 1024) = 149.3 TFLOPS vs the
-    single-k-step (128, 512, 7168)'s 138.1; gn-first ranking below m<=128.
-    Grouped-m and bf16 paths keep their orders."""
+def test_small_m_decode_full_n_pick(monkeypatch):
+    """r5 small-m sweep read the full-n tile best in ISOLATION but the
+    bench-form leg read the opposite (see configs.py) — the full-n tile is
+    pin-only until the harness discrepancy is resolved."""
     import jax.numpy as jnp
+    c = get_gemm_config(128, 4096, 7168, jnp.float8_e4m3fn,
+                        jnp.float8_e4m3fn, jnp.bfloat16,
+                        scale_strategy='promote')
+    assert (c.block_m, c.block_n, c.block_k) == (128, 512, 7168)
+    monkeypatch.setenv('DGT_DENSE_SMALLM_FULLN', '1')
     c = get_gemm_config(128, 4096, 7168, jnp.float8_e4m3fn,
                         jnp.float8_e4m3fn, jnp.bfloat16,
                         scale_strategy='promote')
