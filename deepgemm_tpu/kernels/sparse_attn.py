@@ -55,6 +55,13 @@ class SparseAttnSpec:
     head_dim: int
     block_rows: int
     q_dtype: str
+    # MXU variant (r5b): both per-head contractions run as ONE dense dot
+    # each via a block-diagonal q / diagonal-block extraction — scores =
+    # k2(t, h*d) @ q_bd(h*d, 128) and out = p(h, t) @ v2(t, h*d) with the
+    # cross-head terms exactly zero / discarded. Kills the in-kernel f32
+    # casts of K/V and the two big VPU reduce passes; the dots are tiny
+    # (4.2 MFLOP/row at the serving shape) on an otherwise-idle MXU.
+    mxu: bool = False
 
 
 def _block_rows(rows: int, topk: int, h: int, d: int) -> int:
